@@ -1,0 +1,247 @@
+"""Optical-flow pixel machinery: backward warping, fwd/bwd consistency masks,
+flow-id (pixel track) propagation, and voxelization to unique tracks.
+
+TPU-native rebuild of the reference's utils/flow_utils.py (warp_flow :5-16,
+compute_fwdbwd_mask :18-27, get_mask_bwds :29-38, get_soft_mask_bwds :40-54,
+get_flowid :56-93) and utils/general_utils.py voxelization (:222-256).
+
+Layout: frames are (N, H, W, C); flows are (N, H, W, 2) with channel order
+``[dx, dy]`` (reference channel 0 = x displacement, 1 = y displacement).
+
+`get_flowid` — the reference's sequential per-frame id propagation with
+data-dependent `unassigned.sum()` — is here a single `lax.scan` with
+static shapes: new ids are allocated with a cumulative sum over the
+unassigned mask, so the whole track-building pass jits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tclight_tpu.ops.resample import grid_sample_2d, identity_grid
+
+__all__ = [
+    "warp_flow",
+    "compute_fwdbwd_mask",
+    "get_mask_bwds",
+    "get_soft_mask_bwds",
+    "get_flowid",
+    "voxelization",
+]
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def warp_flow(frames: jnp.ndarray, flows: jnp.ndarray, mode: str = "bicubic") -> jnp.ndarray:
+    """Backward-warp `frames` (N,H,W,C) by `flows` (N,H,W,2):
+    out[n, y, x] = frames[n, y + dy, x + dx] (zero padding, bicubic).
+
+    Mirrors flow_utils.py:5-16 (grid_sample bicubic/zeros/align_corners)."""
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    grid = identity_grid(h, w, dtype=flows.dtype)
+    coords = grid[None] + flows[..., :2]
+    return grid_sample_2d(frames, jnp.broadcast_to(coords, (n, h, w, 2)), mode=mode)
+
+
+def _norm2(flow: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.norm(flow, axis=-1)
+
+
+@jax.jit
+def compute_fwdbwd_mask(
+    fwd_flow: jnp.ndarray, bwd_flow: jnp.ndarray, alpha: float = 0.1
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward/backward flow consistency masks (flow_utils.py:18-27).
+
+    fwd_flow, bwd_flow: (N, H, W, 2). Returns bool (N, H, W) masks."""
+    bwd2fwd = warp_flow(bwd_flow, fwd_flow)
+    fwd_err = _norm2(fwd_flow + bwd2fwd)
+    fwd_mask = fwd_err < alpha * (_norm2(fwd_flow) + _norm2(bwd2fwd)) + alpha
+
+    fwd2bwd = warp_flow(fwd_flow, bwd_flow)
+    bwd_err = _norm2(bwd_flow + fwd2bwd)
+    bwd_mask = bwd_err < alpha * (_norm2(bwd_flow) + _norm2(fwd2bwd)) + alpha
+    return fwd_mask, bwd_mask
+
+
+def _erode(mask: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+    """Min-pool (erosion) with SAME padding; borders treated as valid —
+    matches the reference's `-MaxPool2d(-mask)` with implicit -inf pads."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        mask.astype(jnp.float32),
+        jnp.inf,
+        jax.lax.min,
+        window_dimensions=(1, k, k),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad)),
+    ) > 0.5
+
+
+@jax.jit
+def get_mask_bwds(
+    org_images: jnp.ndarray,
+    flows: jnp.ndarray,
+    past_flows: jnp.ndarray,
+    alpha: float = 0.1,
+    diff_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Hard backward-consistency mask per frame (flow_utils.py:29-38).
+
+    org_images (N,H,W,C); flows = frame i -> i+1; past_flows = frame i -> i-1.
+    Returns bool (N, H, W): True where frame i is consistent with frame i-1.
+    Frame 0 is all-True. Includes photometric check and 5x5 erosion of the
+    valid region (dilates the error area)."""
+    n = org_images.shape[0]
+    _, bwd = compute_fwdbwd_mask(flows[:-1], past_flows[1:], alpha=alpha)
+    warped = warp_flow(org_images[:-1], past_flows[1:])
+    photo_ok = (
+        jnp.max(jnp.abs(warped - org_images[1:]), axis=-1)
+        < jnp.max(org_images) * diff_threshold
+    )
+    rest = bwd & photo_ok
+    mask = jnp.concatenate(
+        [jnp.ones((1,) + rest.shape[1:], dtype=bool), rest], axis=0
+    )
+    return _erode(mask, 5)
+
+
+@jax.jit
+def get_soft_mask_bwds(
+    org_images: jnp.ndarray,
+    flows: jnp.ndarray,
+    past_flows: jnp.ndarray,
+    alpha: float = 0.1,
+    beta: float = 1e2,
+    diff_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Soft (sigmoid) occlusion mask (flow_utils.py:40-54). Returns float
+    (N, H, W) in [0, 1]; frame 0 is all-ones.
+
+    The reference batches this over 64 frames at a time to bound GPU memory;
+    under XLA a single fused vmapped computation suffices, and sharding the
+    frame axis over a mesh covers the long-video case."""
+    fwd2bwd = warp_flow(flows[:-1], past_flows[1:])
+    pf = past_flows[1:]
+    flow_term = jax.nn.sigmoid(
+        -beta * (_norm2(pf + fwd2bwd) - (_norm2(pf) + _norm2(fwd2bwd) + 1.0) * alpha)
+    )
+    warped = warp_flow(org_images[:-1], pf)
+    diff = jnp.max(jnp.abs(warped - org_images[1:]), axis=-1)
+    photo_term = jax.nn.sigmoid(
+        -beta * (diff - jnp.max(org_images) * diff_threshold)
+    )
+    rest = flow_term * photo_term
+    return jnp.concatenate(
+        [jnp.ones((1,) + rest.shape[1:], dtype=rest.dtype), rest], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rgb_threshold",))
+def get_flowid(
+    frames: jnp.ndarray,
+    flows: jnp.ndarray,
+    mask_bwds: jnp.ndarray,
+    rgb_threshold: float = 0.01,
+) -> jnp.ndarray:
+    """Propagate integer pixel-track ids along forward flow
+    (flow_utils.py:56-93), as one jitted `lax.scan` over frames.
+
+    frames: (N, H, W, C); flows: (N-1 or N, H, W, 2) where flows[i] maps
+    frame i -> i+1; mask_bwds: (N, H, W) bool/float backward masks.
+    Returns int32 (N, H, W) ids; every pixel of frame 0 starts its own track,
+    later frames inherit the source id when the flow target is in-bounds,
+    backward-consistent, and photometrically similar; otherwise a fresh id.
+    """
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    grid = identity_grid(h, w)
+    gx = grid[..., 0].astype(jnp.int32)
+    gy = grid[..., 1].astype(jnp.int32)
+    diff_threshold = jnp.max(frames) * rgb_threshold
+
+    ids0 = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+
+    def step(carry, inp):
+        prev_ids, last_id = carry
+        flow_prev, frame_prev, frame_cur, mask_cur = inp
+        x = jnp.round(gx + flow_prev[..., 0]).astype(jnp.int32)
+        y = jnp.round(gy + flow_prev[..., 1]).astype(jnp.int32)
+        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        xc = jnp.clip(x, 0, w - 1)
+        yc = jnp.clip(y, 0, h - 1)
+        # photometric cutoff: target color in cur frame vs source color
+        tgt_rgb = frame_cur[yc, xc]
+        sim = jnp.max(jnp.abs(tgt_rgb - frame_prev), axis=-1) < diff_threshold
+        ok = inb & (mask_cur > 0.5) & sim
+        # scatter prev ids to flow targets (duplicates: arbitrary winner, as
+        # in the reference's advanced-indexing assignment)
+        flat_tgt = jnp.where(ok, yc * w + xc, h * w)  # h*w = drop slot
+        cur = jnp.full((h * w + 1,), -1, dtype=jnp.int32)
+        cur = cur.at[flat_tgt.reshape(-1)].set(prev_ids.reshape(-1), mode="drop")
+        cur = cur[: h * w]
+        unassigned = cur < 0
+        fresh = last_id + jnp.cumsum(unassigned.astype(jnp.int32)) - 1
+        cur = jnp.where(unassigned, fresh, cur)
+        last_id = last_id + jnp.sum(unassigned.astype(jnp.int32))
+        return (cur.reshape(h, w), last_id), cur.reshape(h, w)
+
+    flows_seq = flows[: n - 1]
+    mask_cur = mask_bwds[1:].astype(jnp.float32)
+    (_, _), rest = jax.lax.scan(
+        step,
+        (ids0, jnp.int32(h * w)),
+        (flows_seq, frames[:-1], frames[1:], mask_cur),
+    )
+    return jnp.concatenate([ids0[None], rest], axis=0)
+
+
+def voxelization(
+    flow_ids: np.ndarray,
+    in_feats_rgb: np.ndarray | None = None,
+    in_feats_coord: np.ndarray | None = None,
+    voxel_size: float | None = None,
+    rgb_vox_size: float = 2 / 255,
+    instance_ids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Map each pixel to its unique track (or spatial voxel) id
+    (general_utils.py:222-256). Host-side preprocessing (runs once per
+    video); the jitted UVT optimizer consumes the result padded to a static
+    palette size.
+
+    flow_ids: (P,) or (P, C) int array. Returns int32 `unq_inv` of shape (P,)
+    with values in [0, n_unique)."""
+    flow_ids = np.asarray(flow_ids)
+    if flow_ids.ndim == 1:
+        flow_ids = flow_ids[:, None]
+    if instance_ids is not None:
+        flow_ids = np.concatenate(
+            [flow_ids, np.asarray(instance_ids).reshape(len(flow_ids), -1)], axis=1
+        )
+    if flow_ids.shape[1] == 1:
+        _, unq_inv_t = np.unique(flow_ids[:, 0], return_inverse=True)
+    else:
+        _, unq_inv_t = np.unique(flow_ids, axis=0, return_inverse=True)
+    unq_inv_t = unq_inv_t.astype(np.int32)
+    if voxel_size is None:
+        return unq_inv_t
+
+    # time+spatial voxel hashing (reference's torch_scatter path)
+    assert in_feats_rgb is not None and in_feats_coord is not None
+    n_unique = int(unq_inv_t.max()) + 1
+
+    def segment_mean(vals: np.ndarray) -> np.ndarray:
+        sums = np.zeros((n_unique, vals.shape[1]), dtype=np.float64)
+        np.add.at(sums, unq_inv_t, vals)
+        counts = np.bincount(unq_inv_t, minlength=n_unique).astype(np.float64)
+        return sums / np.maximum(counts, 1)[:, None]
+
+    rgb = np.floor(segment_mean(np.asarray(in_feats_rgb)) / rgb_vox_size)
+    coord = segment_mean(np.asarray(in_feats_coord))
+    coord = coord - coord.min(axis=0, keepdims=True)
+    coord = np.floor(coord / voxel_size)
+    key = np.concatenate([coord, rgb], axis=1)
+    _, unq_inv_xyz = np.unique(key, axis=0, return_inverse=True)
+    return unq_inv_xyz.astype(np.int32)[unq_inv_t]
