@@ -136,16 +136,27 @@ def save_video(
 
         imageio.mimsave(str(path), list(frames), duration=1.0 / fps, loop=0)
     else:
-        import imageio.v2 as imageio
+        import cv2
 
-        writer = imageio.get_writer(
-            str(path), fps=fps, codec="libx264", quality=8, macro_block_size=1
-        )
+        h, w = frames.shape[1:3]
+        # prefer h264 (the reference writes x264 mp4); fall back to mp4v
+        # when no h264 encoder is available in this OpenCV build
+        writer = None
+        for fourcc in ("avc1", "mp4v"):
+            writer = cv2.VideoWriter(
+                str(path), cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
+            )
+            if writer.isOpened():
+                break
+            writer.release()
+            writer = None
+        if writer is None:
+            raise IOError(f"no usable mp4 encoder for {path}")
         try:
             for f in frames:
-                writer.append_data(f)
+                writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         finally:
-            writer.close()
+            writer.release()
 
 
 def save_frames(
