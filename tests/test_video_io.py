@@ -41,7 +41,11 @@ def test_frame_dir_roundtrip(tmp_path, rng):
 
 
 def test_video_roundtrip_mp4(tmp_path, rng):
-    frames = (rng.uniform(size=(6, 32, 48, 3)) > 0.5).astype(np.float32)
+    # smooth gradient content (binary noise is pathological for lossy codecs)
+    y = np.linspace(0, 1, 32)[None, :, None, None]
+    x = np.linspace(0, 1, 48)[None, None, :, None]
+    t = np.linspace(0, 1, 6)[:, None, None, None]
+    frames = np.broadcast_to((y * x + t) / 2.0, (6, 32, 48, 3)).astype(np.float32)
     path = tmp_path / "v.mp4"
     save_video(frames, path, fps=8)
     n = count_frames(path)
