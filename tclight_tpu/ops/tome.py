@@ -1,0 +1,325 @@
+"""Token merging (VidToMe-equivalent) as first-class functional ops.
+
+TPU-native rebuild of utils/VidToMe/vidtome/merge.py (local
+`bipartite_soft_matching_randframe` :20, global `bipartite_soft_matching_2s`
+:343) and the merge-chain assembly of patch.py `compute_merge` :14-91 — with
+NO monkey-patching: our transformer blocks call these ops explicitly.
+
+Design for XLA (static shapes):
+- The dynamic quantities of the reference (random dst frame, merge count
+  ``r``, growing unmerged-token prefix) are all *statically shaped* here:
+  chunks are padded to a fixed frame count, so every (frames, tokens,
+  ratio) combination maps to fixed index-array sizes; the random dst-frame
+  choice is a traced scalar that selects *which* indices are gathered, not
+  how many.
+- Similarity scores ``a @ b^T`` are the hot matmul (MXU); matching uses
+  argmax + argsort (XLA sorts); merge/unmerge are take/scatter ops.
+- The recursive F->1 local merge of the reference becomes a static list of
+  per-level specs (`plan_local_levels`); depth > 1 requires F to be a
+  multiple of the target stride (pad the chunk otherwise), keeping every
+  level's shape static.
+
+Sequence layout (matching the reference): a joined chunk is
+``[unm_pre | frame_0 tokens | frame_1 tokens | ...]``; a merged sequence is
+``[unmerged_src | dst]`` with dst = ``[dst frame tokens, previous unmerged]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+__all__ = [
+    "MergeIndices",
+    "LocalLevelSpec",
+    "plan_local_levels",
+    "compute_local_merge",
+    "compute_split_merge",
+    "tome_merge",
+    "tome_unmerge",
+    "join_frame",
+    "split_frame",
+    "local_merge_sequence",
+    "local_unmerge_sequence",
+    "global_merge",
+    "global_unmerge",
+]
+
+
+def join_frame(x: jnp.ndarray, fsize: int) -> jnp.ndarray:
+    """(B*F, N, C) -> (B, F*N, C) (vidtome/utils.py join_frame)."""
+    return rearrange(x, "(b f) n c -> b (f n) c", f=fsize)
+
+
+def split_frame(x: jnp.ndarray, fsize: int) -> jnp.ndarray:
+    """(B, F*N, C) -> (B*F, N, C)."""
+    return rearrange(x, "b (f n) c -> (b f) n c", f=fsize)
+
+
+class MergeIndices(NamedTuple):
+    """Matching result; all arrays statically shaped.
+
+    a_idx (S,): src token positions in the full sequence.
+    b_idx (D,): dst token positions.
+    unm_idx (B, S-r): indices into src of tokens kept unmerged.
+    src_idx (B, r): indices into src of merged tokens.
+    dst_idx (B, r): for each merged src token, its dst slot in [0, D).
+    n_total: full sequence length (S + D).
+    """
+
+    a_idx: jnp.ndarray
+    b_idx: jnp.ndarray
+    unm_idx: jnp.ndarray
+    src_idx: jnp.ndarray
+    dst_idx: jnp.ndarray
+    n_total: int
+
+
+class LocalLevelSpec(NamedTuple):
+    """Static spec for one level of the recursive local merge."""
+
+    f: int          # frames entering this level
+    tnum: int       # tokens per frame
+    unm_pre: int    # accumulated unmerged-token prefix
+    stride: int     # effective target stride (min(target_stride, f))
+    n_dst_frames: int
+    r: int          # merged src tokens
+    n_src: int      # src token count
+    n_dst: int      # dst token count (incl. unm_pre)
+
+
+def plan_local_levels(
+    f: int, tnum: int, ratio: float, target_stride: int = 4
+) -> list[LocalLevelSpec]:
+    """Static plan of the recursive local merge chain (patch.py:43-56):
+    repeatedly merge F frames down to F//stride dst frames until one frame
+    remains. Every level's sizes are compile-time constants."""
+    levels: list[LocalLevelSpec] = []
+    unm_pre = 0
+    cur_f = f
+    while cur_f > 1:
+        stride = min(target_stride, cur_f)
+        if cur_f % stride != 0:
+            raise ValueError(
+                f"frame count {cur_f} not a multiple of stride {stride}; "
+                "pad the chunk to a multiple of the target stride"
+            )
+        n_dst_frames = cur_f // stride
+        n_src = (cur_f - n_dst_frames) * tnum
+        n_dst = n_dst_frames * tnum + unm_pre
+        r = min(n_src, int(n_src * ratio))
+        levels.append(
+            LocalLevelSpec(cur_f, tnum, unm_pre, stride, n_dst_frames, r, n_src, n_dst)
+        )
+        unm_pre += n_src - r
+        cur_f = n_dst_frames
+    return levels
+
+
+def _greedy_match(
+    metric: jnp.ndarray,
+    a_idx: jnp.ndarray,
+    b_idx: jnp.ndarray,
+    r: int,
+    align_batch: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Cosine-similarity greedy bipartite matching (merge.py:85-121).
+
+    Returns (unm_idx, src_idx, dst_idx), each (B, ·) (B=1 when aligned,
+    broadcast by the callers)."""
+    mn = metric * jax.lax.rsqrt(
+        jnp.sum(metric.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-20
+    ).astype(metric.dtype)
+    a = mn[:, a_idx]  # (B, S, C)
+    b = mn[:, b_idx]  # (B, D, C)
+    # hot matmul: (B, S, C) x (B, C, D) on the MXU, fp32 accumulation
+    scores = jnp.einsum("bsc,bdc->bsd", a, b, preferred_element_type=jnp.float32)
+    d = scores.shape[-1]
+
+    if align_batch:
+        # one matching shared across the batch: concatenate dst axis over
+        # batch, pick max over all samples (merge.py:95-108)
+        s2 = rearrange(scores, "b s d -> s (b d)")
+        node_max = jnp.max(s2, axis=-1)
+        node_idx = jnp.argmax(s2, axis=-1)
+        edge_idx = jnp.argsort(-node_max)  # (S,), descending
+        src_idx = edge_idx[:r][None]
+        unm_idx = edge_idx[r:][None]
+        dst_idx = (node_idx[src_idx[0]] % d)[None]
+    else:
+        node_max = jnp.max(scores, axis=-1)  # (B, S)
+        node_idx = jnp.argmax(scores, axis=-1)
+        edge_idx = jnp.argsort(-node_max, axis=-1)
+        src_idx = edge_idx[:, :r]
+        unm_idx = edge_idx[:, r:]
+        dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=-1)
+    return unm_idx, src_idx, dst_idx
+
+
+def compute_local_merge(
+    metric: jnp.ndarray,
+    spec: LocalLevelSpec,
+    randf: jnp.ndarray,
+    align_batch: bool = True,
+) -> MergeIndices:
+    """Build merge indices for one local level. `randf` is a traced scalar
+    in [0, spec.stride) choosing the dst frame group — shapes stay static
+    because the dst-frame *count* is fixed by the plan."""
+    f, tnum, unm_pre = spec.f, spec.tnum, spec.unm_pre
+    n_frame_tok = f * tnum
+    frame_of = jnp.arange(n_frame_tok, dtype=jnp.int32) // tnum
+    is_dst = (frame_of % spec.stride) == randf
+    # stable partition: src positions (in order), then dst positions
+    order = jnp.argsort(is_dst, stable=True)
+    a_idx = order[: spec.n_src] + unm_pre
+    b_frames = order[spec.n_src :] + unm_pre
+    # previous unmerged tokens appended to dst (merge.py:66-69)
+    b_idx = jnp.concatenate([b_frames, jnp.arange(unm_pre, dtype=order.dtype)])
+    unm_idx, src_idx, dst_idx = _greedy_match(
+        metric, a_idx, b_idx, spec.r, align_batch
+    )
+    return MergeIndices(a_idx, b_idx, unm_idx, src_idx, dst_idx, n_frame_tok + unm_pre)
+
+
+def compute_split_merge(
+    metric: jnp.ndarray,
+    src_len: int,
+    ratio: float,
+    align_batch: bool = True,
+) -> MergeIndices:
+    """[src | dst] split matching (merge.py bipartite_soft_matching_2s:343):
+    first `src_len` tokens are src, the rest dst."""
+    n = metric.shape[1]
+    r = min(src_len, int(src_len * ratio))
+    a_idx = jnp.arange(src_len, dtype=jnp.int32)
+    b_idx = jnp.arange(src_len, n, dtype=jnp.int32)
+    unm_idx, src_idx, dst_idx = _greedy_match(metric, a_idx, b_idx, r, align_batch)
+    return MergeIndices(a_idx, b_idx, unm_idx, src_idx, dst_idx, n)
+
+
+def _bcast_batch(idx: jnp.ndarray, b: int) -> jnp.ndarray:
+    return jnp.broadcast_to(idx, (b,) + idx.shape[1:])
+
+
+def tome_merge(x: jnp.ndarray, mi: MergeIndices, mode: str = "replace") -> jnp.ndarray:
+    """Merge tokens: (B, N, C) -> (B, n_unm + n_dst, C) = [unm | dst].
+
+    "replace": merged src tokens are dropped (dst wins) — the TC-Light
+    default. "mean": dst slots become the mean of themselves + all srcs
+    merged into them (torch scatter_reduce 'mean', include_self)."""
+    b = x.shape[0]
+    src = x[:, mi.a_idx]
+    dst = x[:, mi.b_idx]
+    unm = jnp.take_along_axis(src, _bcast_batch(mi.unm_idx, b)[..., None], axis=1)
+    if mode != "replace":
+        src_sel = jnp.take_along_axis(src, _bcast_batch(mi.src_idx, b)[..., None], axis=1)
+        d_idx = _bcast_batch(mi.dst_idx, b)
+
+        def _mean_one(dst_i, src_i, didx_i):
+            sums = jnp.zeros_like(dst_i).at[didx_i].add(src_i)
+            counts = (
+                jnp.zeros(dst_i.shape[0], dtype=src_i.dtype)
+                .at[didx_i]
+                .add(1.0)
+            )
+            return (dst_i + sums) / (1.0 + counts)[:, None]
+
+        dst = jax.vmap(_mean_one)(dst, src_sel, d_idx)
+    return jnp.concatenate([unm, dst], axis=1)
+
+
+def tome_unmerge(y: jnp.ndarray, mi: MergeIndices) -> jnp.ndarray:
+    """Invert `tome_merge`: (B, n_unm + n_dst, C) -> (B, N, C). Restored
+    merged-src tokens copy their dst token's value (merge.py:137-158)."""
+    b, c = y.shape[0], y.shape[-1]
+    n_unm = mi.unm_idx.shape[-1]
+    unm, dst = y[:, :n_unm], y[:, n_unm:]
+    src_restored = jnp.take_along_axis(
+        dst, _bcast_batch(mi.dst_idx, b)[..., None], axis=1
+    )
+    unm_pos = mi.a_idx[_bcast_batch(mi.unm_idx, b)]  # (B, n_unm)
+    src_pos = mi.a_idx[_bcast_batch(mi.src_idx, b)]  # (B, r)
+
+    def _scatter_one(dst_i, unm_i, src_i, unm_pos_i, src_pos_i):
+        out = jnp.zeros((mi.n_total, c), dtype=y.dtype)
+        out = out.at[mi.b_idx].set(dst_i)
+        out = out.at[unm_pos_i].set(unm_i)
+        out = out.at[src_pos_i].set(src_i)
+        return out
+
+    return jax.vmap(_scatter_one)(dst, unm, src_restored, unm_pos, src_pos)
+
+
+def local_merge_sequence(
+    x: jnp.ndarray,
+    metric: jnp.ndarray,
+    levels: Sequence[LocalLevelSpec],
+    randf: jnp.ndarray,
+    align_batch: bool = True,
+    mode: str = "replace",
+) -> tuple[jnp.ndarray, list[MergeIndices]]:
+    """Apply the full local merge chain to a joined sequence (B, F*T, C).
+
+    `metric` is the tensor used for similarity (the reference uses the
+    pre-attention hidden states themselves). The same `randf` scalar drives
+    every level (all reference blocks share generator state per forward).
+    Returns merged tokens + per-level indices for unmerging."""
+    infos: list[MergeIndices] = []
+    for spec in levels:
+        mi = compute_local_merge(metric, spec, randf % spec.stride, align_batch)
+        x = tome_merge(x, mi, mode)
+        metric = tome_merge(metric, mi, mode)
+        infos.append(mi)
+    return x, infos
+
+
+def local_unmerge_sequence(
+    y: jnp.ndarray, infos: Sequence[MergeIndices]
+) -> jnp.ndarray:
+    for mi in reversed(infos):
+        y = tome_unmerge(y, mi)
+    return y
+
+
+def global_merge(
+    local_tokens: jnp.ndarray,
+    global_tokens: jnp.ndarray,
+    metric_local: jnp.ndarray,
+    metric_global: jnp.ndarray,
+    ratio: float,
+    flip: jnp.ndarray,
+    align_batch: bool = True,
+    mode: str = "replace",
+) -> tuple[jnp.ndarray, MergeIndices, jnp.ndarray]:
+    """Merge local tokens against the persistent global token bank
+    (patch.py:59-82). `flip` (traced bool) randomly picks which side is src
+    — local and global banks have equal (padded) length, so both branches
+    share one static shape. Returns (merged, indices, flip)."""
+    assert local_tokens.shape == global_tokens.shape, (
+        "global bank must match local merged length (pad chunks to equal size)"
+    )
+    src_len = local_tokens.shape[1]
+    flip_b = flip[..., None, None] if flip.ndim == 0 else flip
+
+    def _order(a, b):
+        return jnp.where(flip_b, jnp.concatenate([b, a], 1), jnp.concatenate([a, b], 1))
+
+    tokens = _order(local_tokens, global_tokens)
+    metric = _order(metric_local, metric_global)
+    mi = compute_split_merge(metric, src_len, ratio, align_batch)
+    merged = tome_merge(tokens, mi, mode)
+    return merged, mi, flip
+
+
+def global_unmerge(
+    y: jnp.ndarray, mi: MergeIndices, flip: jnp.ndarray, src_len: int
+) -> jnp.ndarray:
+    """Invert `global_merge`, returning the restored *local* chunk
+    (merge.py unmerge_chunk semantics): src half when local was src
+    (flip=False), dst half otherwise."""
+    full = tome_unmerge(y, mi)
+    flip_b = flip[..., None, None] if flip.ndim == 0 else flip
+    return jnp.where(flip_b, full[:, src_len:], full[:, :src_len])
