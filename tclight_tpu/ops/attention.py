@@ -1,0 +1,195 @@
+"""Fused multi-head attention for TPU.
+
+Replaces the reference's xformers / torch-SDPA attention backends
+(utils/VidToMe/generate_utils.py enables xformers; diffusers' Attention and
+cosmos1's TransformerEngine DotProductAttention are the other backends) with:
+
+- a Pallas flash-attention kernel (`_flash_attention_pallas`) tiled for the
+  MXU (128-lane blocks, online softmax, O(N) memory), used on TPU;
+- a chunked `lax.scan` online-softmax fallback (`_flash_attention_xla`) with
+  identical math for CPU tests and odd shapes.
+
+Layout: (B, S, H, D) — batch, sequence, heads, head_dim. Inference-only
+(no custom VJP yet): the TC-Light UNet path never backpropagates through
+attention; the post-optimization stages do not touch the UNet.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["dot_product_attention", "flash_attention"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain XLA attention (fine for short KV, e.g. cross-attn over 77
+    text tokens). q: (B, Sq, H, D), k/v: (B, Skv, H, D)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+# ---------------------------------------------------------------- XLA fallback
+
+
+def _flash_attention_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float, kv_chunk: int = 1024
+) -> jnp.ndarray:
+    """Online-softmax attention over KV chunks: O(Sq * kv_chunk) memory."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    n_chunks = -(-skv // kv_chunk)
+    pad = n_chunks * kv_chunk - skv
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kc = k.reshape(b, n_chunks, kv_chunk, h, d)
+    vc = v.reshape(b, n_chunks, kv_chunk, h, d)
+    valid = (
+        jnp.arange(n_chunks * kv_chunk).reshape(n_chunks, kv_chunk) < skv
+    )
+
+    qf = q.astype(jnp.float32)
+
+    def step(carry, inp):
+        m_prev, l_prev, acc = carry
+        k_i, v_i, valid_i = inp
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", qf, k_i.astype(jnp.float32)) * scale
+        )
+        logits = jnp.where(valid_i[None, None, None, :], logits, -jnp.inf)
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(logits - m_cur[..., None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v_i.astype(jnp.float32)
+        )
+        return (m_cur, l_cur, acc), None
+
+    m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, sq), jnp.float32)
+    acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        step,
+        (m0, l0, acc0),
+        (kc.swapaxes(0, 1), vc.swapaxes(0, 1), valid),
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return out.swapaxes(1, 2).astype(q.dtype)  # (B, Sq, H, D)
+
+
+# ---------------------------------------------------------------- Pallas TPU
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
+    """One (batch*head, q-block) program: iterate KV blocks with online
+    softmax. Shapes: q (1, bq, d), k/v (1, Skv_pad, d), o (1, bq, d)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq, d = q.shape
+    skv_pad = k_ref.shape[1]
+    n_kv = skv_pad // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
+        logits = jnp.where(col < kv_len, logits, -1e30)
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(logits - m_cur)
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_cur, l_cur, acc
+
+    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    d_pad = _ceil_to(d, 128)
+    sq_pad = _ceil_to(sq, block_q)
+    skv_pad = _ceil_to(skv, block_k)
+
+    def prep(x, s_pad):
+        x = jnp.pad(
+            x, ((0, 0), (0, s_pad - x.shape[1]), (0, 0), (0, d_pad - d))
+        )
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s_pad, d_pad)
+
+    qp, kp, vp = prep(q, sq_pad), prep(k, skv_pad), prep(v, skv_pad)
+    grid = (b * h, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+        grid=(grid[0], grid[1]),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+    )(qp, kp, vp)
+    out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
+    return out.transpose(0, 2, 1, 3)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """Memory-efficient attention. q: (B, Sq, H, D); k/v: (B, Skv, H, D).
+
+    backend: None = auto (Pallas on TPU, scan fallback elsewhere),
+    'pallas', 'xla', or 'naive'."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if backend is None:
+        platform = q.devices().pop().platform if hasattr(q, "devices") else None
+        if platform is None:
+            platform = jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "xla"
+    if backend == "pallas":
+        return _flash_attention_pallas(q, k, v, scale)
+    if backend == "xla":
+        return _flash_attention_xla(q, k, v, scale)
+    return dot_product_attention(q, k, v, scale)
