@@ -184,10 +184,7 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend is None:
-        platform = q.devices().pop().platform if hasattr(q, "devices") else None
-        if platform is None:
-            platform = jax.default_backend()
-        backend = "pallas" if platform == "tpu" else "xla"
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         return _flash_attention_pallas(q, k, v, scale)
     if backend == "xla":
