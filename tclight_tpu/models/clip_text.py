@@ -76,9 +76,9 @@ class CLIPLayer(nn.Module):
     def __call__(self, x, mask):
         cfg = self.config
         x = x + CLIPAttention(cfg, name="self_attn")(
-            nn.LayerNorm(dtype=cfg.dtype, name="layer_norm1")(x), mask
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="layer_norm1")(x), mask
         )
-        h = nn.LayerNorm(dtype=cfg.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="layer_norm2")(x)
         h = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype, name="mlp_fc1")(h)
         h = quick_gelu(h)
         h = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="mlp_fc2")(h)
@@ -104,5 +104,5 @@ class CLIPTextModel(nn.Module):
         causal = jnp.tril(jnp.ones((s, s), dtype=bool))
         for i in range(cfg.num_layers):
             x = CLIPLayer(cfg, name=f"layers_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
         return x.astype(jnp.float32)

@@ -153,9 +153,9 @@ class BasicTransformerBlock(nn.Module):
             self.heads, dim_head, context_dim=self.context_dim, dtype=self.dtype,
             backend=self.attn_backend, name="attn2",
         )
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")
         ff = FeedForward(self.dim, dtype=self.dtype, name="ff")
 
         h = norm1(x)
