@@ -147,10 +147,11 @@ def relaxed_ms_ssim(
     if x.shape != y.shape:
         raise ValueError(f"shape mismatch {x.shape} vs {y.shape}")
     smaller = min(x.shape[1], x.shape[2])
-    if smaller <= (win_size - 1) * 16:
+    needed = (win_size - 1) * 2 ** (len(weights) - 1)
+    if smaller <= needed:
         raise ValueError(
             f"image side {smaller} too small for {len(weights)}-level ms-ssim "
-            f"(needs > {(win_size - 1) * 16})"
+            f"(needs > {needed})"
         )
     win = _gauss_1d(win_size, win_sigma)
     weights_arr = jnp.asarray(weights, dtype=x.dtype)

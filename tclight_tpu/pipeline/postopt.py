@@ -1,0 +1,262 @@
+"""Two-stage test-time post-optimization (TC-Light's novelty), jitted.
+
+Stage 1 — exposure alignment (generate.py:354-451): one learnable 3x4
+affine color matrix per frame, optimized against (1-λf)·[(1-λd)·L1 +
+λd·(1-relaxed-MS-SSIM)] + λf·flow-warped L1, with the Plenoxels log-lerp LR
+schedule; the result is baked into the frames (utils/dataloader.py:38-42).
+
+Stage 2 — Unique Video Tensor refinement (generate.py:453-533): the video
+is compressed to a palette of flow-linked unique pixels (`unq_inv` from
+voxelization); per-track SH-DC colors are initialized by scatter-mean and
+optimized with flow + DSSIM + TV losses; the final video is a gather.
+
+TPU design: the reference's shuffled DataLoader epochs become permuted
+index arrays scanned by `lax.scan` — each *epoch* is one compiled scan, the
+optimizer is optax Adam, and the UVT palette is padded to a static size.
+Batches are padded to `batch_size` with masked-out entries so every step
+has one shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tclight_tpu.ops.color import RGB2SH, SH2RGB
+from tclight_tpu.ops.flow import warp_flow
+from tclight_tpu.ops.losses import l1_loss, relaxed_ms_ssim, tv_loss
+from tclight_tpu.ops.schedules import expon_lr_schedule
+
+__all__ = ["PostOptConfig", "run_exposure_align", "run_uvt"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PostOptConfig:
+    """Mirrors the reference post_opt config block
+    (configs/tclight_default.yaml post_opt)."""
+
+    epochs_exposure: int = 35
+    epochs: int = 70
+    batch_size: int = 16
+    lambda_dssim: float = 0.2
+    lambda_flow: float = 0.8
+    lambda_tv: float = 0.05
+    feature_lr: float = 0.05
+    exposure_lr_init: float = 0.01
+    exposure_lr_final: float = 0.001
+    exposure_lr_delay_steps: int = 0
+    exposure_lr_delay_mult: float = 0.0
+    ms_ssim_start_level: int = 1
+    # number of MS-SSIM pyramid levels; 5 = reference. Lower values permit
+    # small test images (the 5-level pyramid needs sides > 160).
+    ms_ssim_levels: int = 5
+
+
+_MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def _ms_ssim_per_sample(a, b, cfg: PostOptConfig):
+    return relaxed_ms_ssim(
+        a, b, start_level=cfg.ms_ssim_start_level, data_range=1.0,
+        size_average=False, weights=_MS_WEIGHTS[: cfg.ms_ssim_levels],
+    )  # (B,)
+
+
+def _epoch_batches(n: int, batch_size: int, rng: np.random.Generator):
+    """Shuffled, padded batch indices for one epoch: (n_batches, B) + mask."""
+    perm = rng.permutation(n)
+    n_batches = -(-n // batch_size)
+    pad = n_batches * batch_size - n
+    idxs = np.concatenate([perm, np.zeros(pad, np.int64)])
+    mask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    return (
+        idxs.reshape(n_batches, batch_size).astype(np.int32),
+        mask.reshape(n_batches, batch_size),
+    )
+
+
+def _masked_mean(x_sum_per_sample, weight):
+    w = weight.astype(jnp.float32)
+    return jnp.sum(x_sum_per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _apply_exposure(frames: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    """frames (B,H,W,3) x exposure (B,3,4) -> clamped affine-mapped frames."""
+    out = jnp.einsum("bhwc,bcd->bhwd", frames, exposure[:, :3, :3])
+    out = out + exposure[:, None, None, :3, 3]
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def run_exposure_align(
+    frames: jnp.ndarray,       # (N, H, W, 3) in [0, 1]
+    past_flows: jnp.ndarray,   # (N, H, W, 2)
+    masks_bwd: jnp.ndarray,    # (N, H, W) or (N, H, W, 1) soft masks
+    cfg: PostOptConfig,
+    seed: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+    """Optimize per-frame affine exposure, bake it in. Returns (aligned
+    frames, exposure (N,3,4), loss history)."""
+    n = frames.shape[0]
+    if masks_bwd.ndim == 3:
+        masks_bwd = masks_bwd[..., None]
+    exposure0 = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4)).astype(jnp.float32)
+
+    n_batches = -(-n // cfg.batch_size)
+    total_iters = max(cfg.epochs_exposure * n // cfg.batch_size, 1)
+    lr_fn = expon_lr_schedule(
+        cfg.exposure_lr_init, cfg.exposure_lr_final,
+        cfg.exposure_lr_delay_steps, cfg.exposure_lr_delay_mult, total_iters,
+    )
+    tx = optax.adam(learning_rate=lr_fn)
+
+    def loss_fn(exposure, idxs, bmask):
+        edited = frames[idxs]
+        pre_idx = jnp.maximum(idxs - 1, 0)
+        pre_edited = frames[pre_idx]
+        images = _apply_exposure(edited, exposure[idxs])
+        pre_images = _apply_exposure(pre_edited, exposure[pre_idx])
+
+        # photometric vs the un-transformed edited frames
+        l1_per = jnp.mean(jnp.abs(images - edited), axis=(1, 2, 3))
+        dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
+        loss_photo = (
+            _masked_mean(l1_per, bmask) * (1 - cfg.lambda_dssim)
+            + _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
+        )
+
+        warped = warp_flow(pre_images, past_flows[idxs])
+        m = masks_bwd[idxs]
+        valid = bmask & (idxs > 0)
+        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
+        loss_flow = _masked_mean(flow_per, valid)
+        loss = (1 - cfg.lambda_flow) * loss_photo + cfg.lambda_flow * loss_flow
+        return loss
+
+    @jax.jit
+    def run_epoch(exposure, opt_state, idxs_all, masks_all):
+        def body(carry, inp):
+            exposure, opt_state = carry
+            idxs, bmask = inp
+            loss, grads = jax.value_and_grad(loss_fn)(exposure, idxs, bmask)
+            updates, opt_state = tx.update(grads, opt_state, exposure)
+            exposure = optax.apply_updates(exposure, updates)
+            return (exposure, opt_state), loss
+
+        (exposure, opt_state), losses = jax.lax.scan(
+            body, (exposure, opt_state), (idxs_all, masks_all)
+        )
+        return exposure, opt_state, losses
+
+    rng = np.random.default_rng(seed)
+    exposure = exposure0
+    opt_state = tx.init(exposure)
+    history = []
+    for _ in range(cfg.epochs_exposure):
+        idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
+        exposure, opt_state, losses = run_epoch(
+            exposure, opt_state, jnp.asarray(idxs_all), jnp.asarray(masks_all)
+        )
+        history.append(np.asarray(losses))
+    aligned = _apply_exposure(frames, exposure)
+    return aligned, exposure, np.concatenate(history) if history else np.zeros(0)
+
+
+def init_palette(
+    frames: jnp.ndarray, unq_inv: jnp.ndarray, n_unique: int, pad_to: int | None = None
+) -> jnp.ndarray:
+    """Scatter-mean per-track color -> SH-DC palette (generate.py:477-481).
+    Padded rows (>= n_unique) are zeros."""
+    n, h, w, c = frames.shape
+    p = pad_to or n_unique
+    flat = frames.reshape(n * h * w, c)
+    sums = jax.ops.segment_sum(flat, unq_inv, num_segments=p)
+    counts = jax.ops.segment_sum(jnp.ones((flat.shape[0],)), unq_inv, num_segments=p)
+    mean = sums / jnp.maximum(counts, 1.0)[:, None]
+    return RGB2SH(mean)
+
+
+def render_palette(features_dc: jnp.ndarray, unq_inv: jnp.ndarray,
+                   shape: tuple) -> jnp.ndarray:
+    """Gather per-pixel colors from the palette (generate.py:529-532)."""
+    rgb = jnp.clip(SH2RGB(features_dc)[unq_inv], 0.0, 1.0)
+    return rgb.reshape(shape)
+
+
+def run_uvt(
+    frames: jnp.ndarray,       # (N, H, W, 3) exposure-aligned edited frames
+    past_flows: jnp.ndarray,
+    masks_bwd: jnp.ndarray,
+    unq_inv: np.ndarray,       # (N*H*W,) int32 track ids
+    n_unique: int,
+    cfg: PostOptConfig,
+    seed: int = 0,
+) -> tuple[jnp.ndarray, np.ndarray]:
+    """Unique-Video-Tensor optimization. Returns (rendered frames, loss
+    history)."""
+    if cfg.epochs <= 0:
+        return frames, np.zeros(0)
+    n, h, w, _ = frames.shape
+    if masks_bwd.ndim == 3:
+        masks_bwd = masks_bwd[..., None]
+    # pad palette to a lane-aligned static size
+    p_pad = max(128, int(np.ceil(n_unique / 128)) * 128)
+    unq_inv = jnp.asarray(unq_inv, jnp.int32)
+    unq_inv_frames = unq_inv.reshape(n, h * w)
+
+    features = init_palette(frames, unq_inv, n_unique, pad_to=p_pad)
+    feature_lr = cfg.feature_lr * cfg.batch_size / n
+    tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
+
+    def loss_fn(features, idxs, bmask):
+        pre_idx = jnp.maximum(idxs - 1, 0)
+        inv_cur = unq_inv_frames[idxs].reshape(-1)
+        inv_pre = unq_inv_frames[pre_idx].reshape(-1)
+        images = render_palette(features, inv_cur, (len(idxs), h, w, 3))
+        pre_images = render_palette(features, inv_pre, (len(idxs), h, w, 3))
+
+        edited = frames[idxs]
+        warped = warp_flow(pre_images, past_flows[idxs])
+        m = masks_bwd[idxs]
+        valid = bmask & (idxs > 0)
+        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
+        loss_flow = _masked_mean(flow_per, valid)
+        dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
+        loss_photo = _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
+        loss = (
+            (1 - cfg.lambda_flow) * loss_photo
+            + cfg.lambda_flow * loss_flow
+            + tv_loss(images, cfg.lambda_tv)
+        )
+        return loss
+
+    @jax.jit
+    def run_epoch(features, opt_state, idxs_all, masks_all):
+        def body(carry, inp):
+            features, opt_state = carry
+            idxs, bmask = inp
+            loss, grads = jax.value_and_grad(loss_fn)(features, idxs, bmask)
+            updates, opt_state = tx.update(grads, opt_state, features)
+            features = optax.apply_updates(features, updates)
+            return (features, opt_state), loss
+
+        (features, opt_state), losses = jax.lax.scan(
+            body, (features, opt_state), (idxs_all, masks_all)
+        )
+        return features, opt_state, losses
+
+    rng = np.random.default_rng(seed)
+    opt_state = tx.init(features)
+    history = []
+    for _ in range(cfg.epochs):
+        idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
+        features, opt_state, losses = run_epoch(
+            features, opt_state, jnp.asarray(idxs_all), jnp.asarray(masks_all)
+        )
+        history.append(np.asarray(losses))
+    rendered = render_palette(features, unq_inv, (n, h, w, 3))
+    return rendered, np.concatenate(history) if history else np.zeros(0)

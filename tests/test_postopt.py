@@ -1,0 +1,113 @@
+"""Post-optimization stages on synthetic videos with known structure."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tclight_tpu.pipeline.chunks import make_chunk_plan, make_step_plans, n_chunk_slots
+from tclight_tpu.pipeline.postopt import (
+    PostOptConfig,
+    init_palette,
+    render_palette,
+    run_exposure_align,
+    run_uvt,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        epochs_exposure=8, epochs=12, batch_size=4,
+        ms_ssim_levels=2,  # small test images
+    )
+    base.update(kw)
+    return PostOptConfig(**base)
+
+
+def _static_video(n=6, h=48, w=48):
+    """Static scene + per-frame global brightness flicker."""
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.2, 0.8, (h, w, 3)).astype(np.float32)
+    gains = np.linspace(0.7, 1.3, n).astype(np.float32)
+    frames = np.stack([np.clip(base * g, 0, 1) for g in gains])
+    flows = np.zeros((n, h, w, 2), np.float32)
+    masks = np.ones((n, h, w), np.float32)
+    return frames, flows, masks, base
+
+
+def test_chunk_plan_properties():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        plan = make_chunk_plan(30, 4, rng)
+        ids = plan.indices[plan.valid]
+        assert sorted(ids.tolist()) == list(range(30))
+        assert plan.n_slots == n_chunk_slots(30, 4)
+        # padded entries repeat the last valid frame of the slot
+        for s in range(plan.n_slots):
+            v = plan.valid[s]
+            if v.any() and not v.all():
+                last = plan.indices[s][v][-1]
+                assert (plan.indices[s][~v] == last).all()
+
+
+def test_chunk_plans_stacked():
+    idx, valid = make_step_plans(25, 30, 4, seed=1)
+    assert idx.shape == (25, n_chunk_slots(30, 4), 4)
+    assert valid.shape == idx.shape
+    # every step covers every frame exactly once
+    for t in range(25):
+        assert sorted(idx[t][valid[t]].tolist()) == list(range(30))
+
+
+def test_exposure_align_reduces_flicker():
+    frames, flows, masks, base = _static_video()
+    cfg = small_cfg(epochs_exposure=20, lambda_flow=0.9)
+    aligned, exposure, losses = run_exposure_align(
+        jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks), cfg, seed=0
+    )
+    aligned = np.asarray(aligned)
+    # temporal variance of the static scene should drop substantially
+    var_before = frames.std(axis=0).mean()
+    var_after = aligned.std(axis=0).mean()
+    assert var_after < var_before * 0.55, (var_before, var_after)
+    assert losses.shape[0] == 20 * 2  # 6 frames / bs 4 -> 2 batches/epoch
+    assert losses[-1] < losses[0]
+
+
+def test_palette_init_and_render_roundtrip():
+    # 2 frames, all pixels of a frame in one track each
+    frames = np.stack([
+        np.full((4, 4, 3), 0.25, np.float32),
+        np.full((4, 4, 3), 0.75, np.float32),
+    ])
+    unq_inv = np.concatenate([np.zeros(16, np.int32), np.ones(16, np.int32)])
+    feats = init_palette(jnp.asarray(frames), jnp.asarray(unq_inv), 2, pad_to=128)
+    out = np.asarray(render_palette(feats, jnp.asarray(unq_inv), (2, 4, 4, 3)))
+    np.testing.assert_allclose(out, frames, atol=1e-5)
+
+
+def test_uvt_static_video_converges_to_shared_palette():
+    frames, flows, masks, base = _static_video(n=4)
+    n, h, w, _ = frames.shape
+    # ground-truth tracks: static video -> every pixel is one track across time
+    unq_inv = np.tile(np.arange(h * w, dtype=np.int32), n)
+    cfg = small_cfg(epochs=15, lambda_flow=0.5, lambda_tv=0.0)
+    out, losses = run_uvt(
+        jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
+        unq_inv, h * w, cfg, seed=0,
+    )
+    out = np.asarray(out)
+    # all frames forced to one palette: temporal std ~ 0
+    assert out.std(axis=0).max() < 1e-4
+    # and the shared value stays near the temporal mean of the input
+    np.testing.assert_allclose(out[0], frames.mean(axis=0), atol=0.08)
+
+
+def test_uvt_zero_epochs_noop():
+    frames, flows, masks, _ = _static_video(n=2)
+    cfg = small_cfg(epochs=0)
+    out, losses = run_uvt(
+        jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
+        np.zeros(frames.size // 3, np.int32), 1, cfg,
+    )
+    np.testing.assert_allclose(np.asarray(out), frames)
+    assert losses.size == 0
