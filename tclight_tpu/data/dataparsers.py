@@ -1,0 +1,112 @@
+"""Data parsers: video loading + lazy flow generation + pixel-track
+construction.
+
+Rebuilds the reference's data layer (utils/dataparsers/):
+- `VideoDataParser` (video_dataparser.py:33-156): loads mp4/gif/frame-dir,
+  lazily computes and caches per-frame forward/past flows on disk next to
+  the video (same `<stem>_{future,past}_flow_<model>/` cache contract, .npy
+  instead of .pt), derives soft backward masks, flow ids and the
+  `unq_inv` track mapping.
+- `SceneFlowDataParser` / `CarlaDataParser` / `InteriorNetDataParser`:
+  synthetic-dataset parsers with ground-truth flow (PFM/.flo readers,
+  RGB-D unprojection) — see data/synthetic.py.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from tclight_tpu.data.flow_backends import compute_flow_pairs
+from tclight_tpu.ops.flow import get_flowid, get_soft_mask_bwds, voxelization
+from tclight_tpu.utils.logging import get_logger
+from tclight_tpu.utils.video_io import load_video
+
+log = get_logger()
+
+
+class VideoDataParser:
+    """Generic video parser (video_dataparser.py:17-156)."""
+
+    def __init__(self, cfg, flow_backend: str | None = None, raft=None):
+        self.cfg = cfg
+        self.rgb_path = cfg.get("rgb_path")
+        self.height = cfg.get("height")
+        self.width = cfg.get("width")
+        self.fps = cfg.get("fps", 25)
+        self.flow_backend = flow_backend or cfg.get("flow_model", "farneback")
+        self.raft = raft
+        self.unq_inv: np.ndarray | None = None
+        self.n_unique: int | None = None
+
+    # -- frames
+
+    def load_video(self, frame_ids: Sequence[int] | None = None,
+                   path: str | None = None) -> np.ndarray:
+        return load_video(
+            path or self.rgb_path, self.height, self.width, frame_ids=frame_ids
+        )
+
+    # -- flows (disk-cached per frame, mirroring the reference's layout)
+
+    def _flow_cache_dir(self, direction: str) -> Path:
+        stem = Path(self.rgb_path).with_suffix("")
+        return Path(f"{stem}_{direction}_flow_{self.flow_backend}")
+
+    def load_flow(
+        self, frames: np.ndarray, frame_ids: Sequence[int], direction: str
+    ) -> np.ndarray:
+        cache = self._flow_cache_dir(direction)
+        flows = np.zeros(frames.shape[:3] + (2,), np.float32)
+        missing = []
+        for j, fid in enumerate(frame_ids):
+            f = cache / f"{fid:05d}.npy"
+            if f.exists():
+                flows[j] = np.load(f)
+            else:
+                missing.append(j)
+        if missing:
+            log.info("computing %d %s flows with %s", len(missing), direction,
+                     self.flow_backend)
+            computed = compute_flow_pairs(
+                frames, direction, self.flow_backend, raft=self.raft
+            )
+            cache.mkdir(parents=True, exist_ok=True)
+            for j in missing:
+                flows[j] = computed[j]
+                np.save(cache / f"{frame_ids[j]:05d}.npy", computed[j])
+        return flows
+
+    # -- full data prep (video_dataparser.py load_data :43-61)
+
+    def load_data(self, frame_ids: Sequence[int]):
+        """Returns (rgbs, None, None, future_flows, past_flows, mask_bwds)
+        and sets self.unq_inv / self.n_unique."""
+        rgbs = self.load_video(frame_ids=frame_ids)
+        future = self.load_flow(rgbs, frame_ids, "future")
+        past = self.load_flow(rgbs, frame_ids, "past")
+        mask_bwds = np.asarray(
+            get_soft_mask_bwds(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(past))
+        )
+        flow_ids = np.asarray(
+            get_flowid(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(mask_bwds))
+        )
+        self.unq_inv = voxelization(flow_ids.reshape(-1))
+        self.n_unique = int(self.unq_inv.max()) + 1
+        log.info("unique tracks: %d / %d pixels", self.n_unique, flow_ids.size)
+        return rgbs, None, None, future, past, mask_bwds
+
+
+def make_data_parser(data_cfg, **kw):
+    scene_type = str(data_cfg.get("scene_type", "video")).lower()
+    if scene_type == "video":
+        return VideoDataParser(data_cfg, **kw)
+    if scene_type in ("sceneflow", "carla", "interiornet"):
+        from tclight_tpu.data import synthetic
+
+        return synthetic.make_parser(scene_type, data_cfg, **kw)
+    raise NotImplementedError(f"scene type {scene_type}")

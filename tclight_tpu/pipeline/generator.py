@@ -1,0 +1,442 @@
+"""The TC-Light relighting pipeline (Generator).
+
+Rebuilds generate.py's `Generator` (:41-630) TPU-first:
+- chunked-CLIP prompt encoding for >77-token prompts (generate.py:97-135);
+- 'same'/'vanilla' initial noise (:183-197);
+- the xy-plane denoising loop over random chunk plans with VidToMe token
+  merging (:207-239) — here ONE jitted step function consuming precomputed
+  static-shape chunk plans, global token banks threaded as pytrees;
+- decayed multi-axis yt-plane denoising over overlapping temporal windows
+  with sqrt(0.5) overlap scaling and AdaIN noise renormalization (:241-285);
+- DPM-Solver++(SDE) updates with per-step PRNG keys;
+- batched VAE encode/decode (generate_utils.py:140-172);
+- the two-stage post-optimization (pipeline/postopt.py) against flow data
+  from the data parser;
+- cost accounting recorded into the config (:577-611, with the intended
+  `datetime.now()` behavior — SURVEY §5.1 notes the reference's bug).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tclight_tpu.models.unet import ToMeSpec
+from tclight_tpu.ops.color import adaptive_instance_normalization
+from tclight_tpu.pipeline import chunks as chunklib
+from tclight_tpu.pipeline.iclight import ICLightModels
+from tclight_tpu.pipeline.postopt import PostOptConfig, run_exposure_align, run_uvt
+from tclight_tpu.utils.logging import CostTracker, get_logger
+from tclight_tpu.utils.video_io import save_frames, save_video
+
+log = get_logger()
+
+
+def _cfg_get(cfg, key, default=None):
+    if cfg is None:
+        return default
+    v = cfg.get(key, default)
+    return default if v is None else v
+
+
+class Generator:
+    def __init__(self, models: ICLightModels, config, data_parser=None):
+        self.config = config
+        gen = config.get("generation", {})
+        self.guidance_scale = _cfg_get(gen, "guidance_scale", 2.0)
+        self.n_timesteps = _cfg_get(gen, "n_timesteps", 25)
+        self.chunk_size = _cfg_get(gen, "chunk_size", 4)
+        self.chunk_ord = _cfg_get(gen, "chunk_ord", "mix-4")
+        self.negative_prompt = _cfg_get(gen, "negative_prompt", "")
+        self.noise_mode = _cfg_get(gen, "noise_mode", "same")
+        self.alpha_t = _cfg_get(gen, "alpha_t", 0.0)
+        self.final_factor_t = _cfg_get(gen, "final_factor_t", 0.01)
+        self.win_size_t = _cfg_get(gen, "win_size_t", 64)
+        self.prompt_t = _cfg_get(gen, "prompt_t", "best quality")
+        self.negative_prompt_t = _cfg_get(gen, "negative_prompt_t", "jittery")
+        self.save_frame = _cfg_get(gen, "save_frame", True)
+        self.prompts = dict(_cfg_get(gen, "prompt", {"default": None}))
+        self.seed = int(config.get("seed", 12345))
+
+        self.tome_spec = ToMeSpec(
+            n_frames=self.chunk_size,
+            local_ratio=_cfg_get(gen, "local_merge_ratio", 0.6),
+            merge_global=_cfg_get(gen, "merge_global", True),
+            global_ratio=_cfg_get(gen, "global_merge_ratio", 0.5),
+            align_batch=_cfg_get(gen, "align_batch", True),
+            max_downsample=_cfg_get(gen, "max_downsample", 2),
+        )
+        self.global_rand = _cfg_get(gen, "global_rand", 0.5)
+
+        self.models = models.with_tome(self.tome_spec)
+        self.scheduler = dataclasses.replace(
+            models.scheduler, num_inference_steps=self.n_timesteps
+        )
+        self.data_parser = data_parser
+
+        post = config.get("post_opt", {})
+        self.apply_opt = _cfg_get(post, "apply_opt", True)
+        self.post_cfg = PostOptConfig(
+            epochs_exposure=_cfg_get(post, "epochs_exposure", 35),
+            epochs=_cfg_get(post, "epochs", 70),
+            batch_size=_cfg_get(post, "batch_size", 16),
+            lambda_dssim=_cfg_get(post, "lambda_dssim", 0.2),
+            lambda_flow=_cfg_get(post, "lambda_flow", 0.8),
+            lambda_tv=_cfg_get(post, "lambda_tv", 0.05),
+            feature_lr=_cfg_get(post, "feature_lr", 0.05),
+            exposure_lr_init=_cfg_get(post, "exposure_lr_init", 0.01),
+            exposure_lr_final=_cfg_get(post, "exposure_lr_final", 0.001),
+            exposure_lr_delay_steps=_cfg_get(post, "exposure_lr_delay_steps", 0),
+            exposure_lr_delay_mult=_cfg_get(post, "exposure_lr_delay_mult", 0.0),
+            ms_ssim_levels=_cfg_get(post, "ms_ssim_levels", 5),
+        )
+
+        self._vae_batch = 8
+        self._step_fn = None
+        self._step_fn_yt = None
+
+    # ------------------------------------------------------------ prompts
+
+    def encode_prompt_inner(self, txt: str) -> jnp.ndarray:
+        """Chunked >77-token CLIP encoding (generate.py:97-115).
+        Returns (1, k*77, hidden)."""
+        tok = self.models.tokenizer
+        max_length = tok.model_max_length
+        chunk_length = max_length - 2
+        ids = tok(txt, truncation=False, add_special_tokens=False)["input_ids"]
+        if len(ids) == 0:
+            ids = []
+        chunks_ = [
+            [tok.bos_token_id] + ids[i : i + chunk_length] + [tok.eos_token_id]
+            for i in range(0, max(len(ids), 1), chunk_length)
+        ]
+        pad_id = tok.eos_token_id
+        chunks_ = [c + [pad_id] * (max_length - len(c)) for c in chunks_]
+        token_ids = jnp.asarray(np.array(chunks_, np.int32))
+        conds = self.models.text_encoder.apply(self.models.text_params, token_ids)
+        return conds.reshape(1, -1, conds.shape[-1])
+
+    def encode_prompt_pair(self, positive: str, negative: str):
+        """(cond, uncond), both (1, S, hidden), repeated to equal chunk
+        counts (generate.py:117-135)."""
+        c = self.encode_prompt_inner(positive)
+        uc = self.encode_prompt_inner(negative)
+        lc = c.shape[1] // 77
+        luc = uc.shape[1] // 77
+        max_chunk = max(lc, luc)
+        if lc < max_chunk:
+            c = jnp.concatenate([c] * math.ceil(max_chunk / lc), axis=1)[:, : max_chunk * 77]
+        if luc < max_chunk:
+            uc = jnp.concatenate([uc] * math.ceil(max_chunk / luc), axis=1)[:, : max_chunk * 77]
+        return c, uc
+
+    # ---------------------------------------------------------------- VAE
+
+    def encode_imgs_batch(self, frames: np.ndarray) -> jnp.ndarray:
+        """[0,1] frames -> scaled latents (posterior mean * 0.18215)."""
+        vae, params = self.models.vae, self.models.vae_params
+        scale = self.models.latent_scale
+
+        @jax.jit
+        def enc(x):
+            mean, _ = vae.apply(params, 2.0 * x - 1.0, method=vae.encode)
+            return mean * scale
+
+        outs = [
+            enc(jnp.asarray(frames[i : i + self._vae_batch]))
+            for i in range(0, len(frames), self._vae_batch)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
+        vae, params = self.models.vae, self.models.vae_params
+        scale = self.models.latent_scale
+
+        @jax.jit
+        def dec(z):
+            img = vae.apply(params, z / scale, method=vae.decode)
+            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+        outs = [
+            dec(latents[i : i + self._vae_batch])
+            for i in range(0, len(latents), self._vae_batch)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    # ------------------------------------------------------------ denoise
+
+    def _build_step_fn(self):
+        """One jitted xy denoising step: scatter-gathered chunk UNet passes
+        with token merging and CFG, then fused into the noise buffer."""
+        unet, params = self.models.unet, self.models.unet_params
+        g = self.guidance_scale
+        cs = self.chunk_size
+
+        def pred_chunk(x_c, cc_c, embeds, t, randf, flip, banks, use_global):
+            # CFG batch: [uncond frames | cond frames] (generate.py:296-301)
+            latent = jnp.concatenate([x_c, x_c], axis=0)
+            cc = jnp.concatenate([cc_c, cc_c], axis=0)
+            inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
+            uncond, cond = embeds  # each (1, S, hidden)
+            ctx = jnp.concatenate(
+                [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
+            ).astype(unet.config.dtype)
+            eps, banks = unet.apply(
+                params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+                use_global=use_global,
+            )
+            eps_u, eps_c = jnp.split(eps, 2, axis=0)
+            return eps_u + g * (eps_c - eps_u), banks
+
+        def step(x, concat_conds, embeds, t, plan_idx, plan_valid, randfs, flips):
+            n = x.shape[0]
+            noises = jnp.zeros_like(x)
+
+            def scatter(noises, e, idx, valid):
+                tgt = jnp.where(valid, idx, n)
+                return noises.at[tgt].set(e, mode="drop")
+
+            # slot 0 initializes the global token banks
+            idx0, val0 = plan_idx[0], plan_valid[0]
+            e0, banks = pred_chunk(
+                x[idx0], concat_conds[idx0], embeds, t, randfs[0], flips[0],
+                None, False,
+            )
+            noises = scatter(noises, e0, idx0, val0)
+
+            if plan_idx.shape[0] > 1:
+                def body(carry, inp):
+                    noises, banks = carry
+                    idx, valid, randf, flip = inp
+                    e, banks = pred_chunk(
+                        x[idx], concat_conds[idx], embeds, t, randf, flip,
+                        banks, True,
+                    )
+                    return (scatter(noises, e, idx, valid), banks), None
+
+                (noises, banks), _ = jax.lax.scan(
+                    body, (noises, banks),
+                    (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+                )
+            return noises
+
+        return jax.jit(step)
+
+    def _yt_windows(self, n: int):
+        """Overlapping temporal window starts (generate.py:246-258)."""
+        win = min(self.win_size_t, n)
+        n_slices = math.ceil((n - 1) / (win - 1)) if win > 1 else 1
+        if n_slices > 1:
+            total_overlap = n_slices * win - n
+            overlap = total_overlap // (n_slices - 1)
+            last_overlap = overlap + total_overlap % (n_slices - 1)
+            overlap_list = [overlap] * (n_slices - 2) + [last_overlap]
+            cum = np.cumsum(overlap_list)
+            starts = [0] + [(i + 1) * win - cum[i] for i in range(n_slices - 1)]
+        else:
+            starts, overlap_list = [0], [0]
+        return win, starts, overlap_list
+
+    def _temporal_noises(self, x, concat_conds, embeds_t, t, rng, step_fn):
+        """yt-plane noise prediction (generate.py:241-278): width columns
+        become the chunked 'frame' axis; windows slide over time."""
+        n, h, w, c = x.shape
+        win, starts, overlaps = self._yt_windows(n)
+        noises_t = jnp.zeros_like(x)
+        for widx, sl in enumerate(starts):
+            plan = chunklib.make_chunk_plan(
+                w, self.chunk_size, rng, self.chunk_ord, self.tome_spec.merge_global
+            )
+            slots = plan.indices.shape[0]
+            randfs = jnp.asarray(rng.integers(0, 4, size=slots), jnp.int32)
+            flips = jnp.asarray(rng.random(slots) <= self.global_rand)
+            xt = jnp.swapaxes(x[sl : sl + win], 0, 2)        # (W, H, win, C) -> want (W, win, H, C)
+            xt = jnp.swapaxes(xt, 1, 2)                       # (W, win, H, C)
+            cct = jnp.swapaxes(concat_conds[sl : sl + win], 0, 2)
+            cct = jnp.swapaxes(cct, 1, 2)
+            pred = step_fn(
+                xt, cct, embeds_t, t,
+                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                randfs, flips,
+            )  # (W, win, H, C)
+            pred = jnp.swapaxes(pred, 1, 2)
+            pred = jnp.swapaxes(pred, 0, 2)                   # (win, H, W, C)
+            noises_t = noises_t.at[sl : sl + win].set(pred)
+            if sl > 0:
+                ov = overlaps[widx - 1]
+                noises_t = noises_t.at[sl : sl + ov].multiply(np.sqrt(0.5))
+        return noises_t
+
+    def ddim_sample(self, x, embeds, embeds_t, concat_conds, seed=None):
+        """Full sampling loop (generate.py ddim_sample :207-239)."""
+        seed = self.seed if seed is None else seed
+        n = x.shape[0]
+        sched = self.scheduler
+        timesteps = sched.timesteps()
+        t_steps = len(timesteps)
+
+        if self._step_fn is None:
+            self._step_fn = self._build_step_fn()
+        step_fn = self._step_fn
+
+        plan_rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        state = sched.init_state(x)
+
+        for i, t in enumerate(timesteps):
+            plan = chunklib.make_chunk_plan(
+                n, self.chunk_size, plan_rng, self.chunk_ord,
+                self.tome_spec.merge_global,
+            )
+            slots = plan.indices.shape[0]
+            randfs = jnp.asarray(plan_rng.integers(0, 4, size=slots), jnp.int32)
+            flips = jnp.asarray(plan_rng.random(slots) <= self.global_rand)
+            t_arr = jnp.asarray(t, jnp.float32)
+            noises = step_fn(
+                x, concat_conds, embeds, t_arr,
+                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                randfs, flips,
+            )
+
+            if self.alpha_t > 0:
+                factor = self.final_factor_t ** min(i / t_steps, 1.0)
+                alpha = self.alpha_t * factor
+                noises_t = self._temporal_noises(
+                    x, concat_conds, embeds_t, t_arr, plan_rng, step_fn
+                )
+                noises_t = adaptive_instance_normalization(noises_t, noises)
+                noises = (
+                    math.sqrt(alpha) * noises_t + math.sqrt(1.0 - alpha) * noises
+                )
+
+            key, sub = jax.random.split(key)
+            state, x = sched.step(state, noises, x, sub)
+            log.info("step %d/%d t=%.1f", i + 1, t_steps, float(t))
+        return x
+
+    # ------------------------------------------------------------ __call__
+
+    @property
+    def vae_factor(self) -> int:
+        return 2 ** (len(self.models.vae.config.block_out_channels) - 1)
+
+    def prepare_init_noise(self, n_frames: int, h: int, w: int, seed: int):
+        key = jax.random.PRNGKey(seed)
+        lat_h, lat_w = h // self.vae_factor, w // self.vae_factor
+        if self.noise_mode.lower() == "same":
+            noise = jax.random.normal(key, (1, lat_h, lat_w, 4))
+            return jnp.tile(noise, (n_frames, 1, 1, 1))
+        if self.noise_mode.lower() == "vanilla":
+            return jax.random.normal(key, (n_frames, lat_h, lat_w, 4))
+        raise NotImplementedError(self.noise_mode)
+
+    def __call__(self, latents_path, output_path, frame_ids):
+        frames = self.data_parser.load_video(frame_ids=frame_ids)
+        n, h, w, _ = frames.shape
+        tracker = CostTracker()
+
+        init_noise = self.prepare_init_noise(n, h, w, self.seed)
+        concat_conds = self.encode_imgs_batch(frames)
+
+        results = {}
+        for edit_name, edit_prompt in self.prompts.items():
+            if edit_prompt is None:
+                edit_prompt = self._handle_missing_prompt(frames, output_path)
+                self.prompts[edit_name] = edit_prompt
+            log.info("prompt [%s]: %s", edit_name, edit_prompt)
+            cond, uncond = self.encode_prompt_pair(edit_prompt, self.negative_prompt)
+            cond_t, uncond_t = self.encode_prompt_pair(
+                self.prompt_t, self.negative_prompt_t
+            )
+
+            clean_latent = self.ddim_sample(
+                init_noise, (uncond, cond), (uncond_t, cond_t), concat_conds
+            )
+            clean_frames = self.decode_latents_batch(clean_latent)
+
+            losses_exposure = losses_uvt = np.zeros(0)
+            if self.apply_opt and self.data_parser is not None:
+                _, _, _, _, past_flows, mask_bwds = self.data_parser.load_data(frame_ids)
+                clean_frames, _, losses_exposure = run_exposure_align(
+                    clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
+                    self.post_cfg, seed=self.seed,
+                )
+                clean_frames, losses_uvt = run_uvt(
+                    clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
+                    self.data_parser.unq_inv, self.data_parser.n_unique,
+                    self.post_cfg, seed=self.seed,
+                )
+
+            clean_frames = np.asarray(jax.block_until_ready(clean_frames))
+            cost = tracker.finish(n, h, w)
+
+            save_name = (
+                f"lmr_{self.tome_spec.local_ratio}_gmr_{self.tome_spec.global_ratio}"
+                f"_alpha_t_{self.alpha_t}_opt_{edit_name}"
+            )
+            out_dir = Path(output_path) / save_name
+            out_dir.mkdir(parents=True, exist_ok=True)
+            fps = getattr(self.data_parser, "fps", 25)
+            save_video(clean_frames, out_dir / "output.mp4", fps=fps)
+            save_video(frames, out_dir / "output_gt.mp4", fps=fps)
+            if self.save_frame:
+                save_frames(clean_frames, out_dir / "frames")
+            self._save_run_config(out_dir, cost, edit_name, edit_prompt)
+            self._save_loss_curves(out_dir, losses_exposure, losses_uvt)
+            results[edit_name] = clean_frames
+            log.info("done [%s]: %.1fs total, %.2fs/frame", edit_name,
+                     cost["total_time"], cost["sec_per_frame"])
+        return results
+
+    def _handle_missing_prompt(self, frames, output_path) -> str:
+        """Pixtral prompt upsampling (generate.py:536-547); falls back to a
+        generic prompt when no upsampler checkpoint is available."""
+        ckpt = _cfg_get(self.config.get("generation", {}), "prompt_upsampler_ckpt")
+        if ckpt and Path(str(ckpt)).exists():
+            from tclight_tpu.models.pixtral import upsample_prompt_from_frames
+
+            return upsample_prompt_from_frames(ckpt, frames)
+        log.warning("no prompt given and no upsampler checkpoint; using default")
+        return "high quality, detailed, realistic lighting"
+
+    def _save_run_config(self, out_dir: Path, cost, edit_name, edit_prompt):
+        from tclight_tpu.config import ConfigDict, save_config
+
+        cfg = (
+            self.config.copy()
+            if hasattr(self.config, "copy") and isinstance(self.config, dict)
+            else ConfigDict(dict(self.config))
+        )
+        for k, v in cost.items():
+            cfg[k] = v
+        if "generation" in cfg:
+            cfg["generation"]["prompt"] = {edit_name: edit_prompt}
+        save_config(cfg, out_dir / "config.yaml")
+
+    def _save_loss_curves(self, out_dir, losses_exposure, losses_uvt):
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            for name, arr in (
+                ("loss_exposure", losses_exposure),
+                ("loss_unique_tensor", losses_uvt),
+            ):
+                if arr.size:
+                    fig = plt.figure()
+                    plt.plot(arr)
+                    plt.xlabel("iter")
+                    plt.ylabel("loss")
+                    fig.savefig(out_dir / f"{name}.png", dpi=80)
+                    plt.close(fig)
+        except Exception as e:  # loss curves are best-effort
+            log.warning("loss curve saving failed: %s", e)
