@@ -9,6 +9,8 @@ and no module surgery.
 from __future__ import annotations
 
 import math
+
+import jax
 from typing import Any
 
 import flax.linen as nn
@@ -102,9 +104,16 @@ class Upsample2D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, out_size: tuple | None = None) -> jnp.ndarray:
         b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        th, tw = out_size if out_size is not None else (2 * h, 2 * w)
+        if (th, tw) == (2 * h, 2 * w):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        else:
+            # odd-sized skip (latent dims not divisible by 2^levels):
+            # nearest-resize to the skip's exact size, as diffusers does via
+            # `upsample_size`
+            x = jax.image.resize(x, (b, th, tw, c), method="nearest")
         return nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
             name="conv",

@@ -326,7 +326,10 @@ class UNet2DCondition(nn.Module):
                     if nb is not None:
                         new_banks[key] = nb
             if lvl > 0:
-                h = Upsample2D(ch[lvl], dtype=cfg.dtype, name=f"up_{lvl}_us")(h)
+                target = skips[-1].shape[1:3]
+                h = Upsample2D(ch[lvl], dtype=cfg.dtype, name=f"up_{lvl}_us")(
+                    h, out_size=target
+                )
 
         h = nn.GroupNorm(cfg.norm_groups, epsilon=1e-5, dtype=cfg.dtype,
                          name="conv_norm_out")(h)

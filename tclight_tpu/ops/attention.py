@@ -22,6 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["dot_product_attention", "flash_attention"]
 
@@ -98,37 +99,46 @@ def _flash_attention_xla(
 # ---------------------------------------------------------------- Pallas TPU
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_k):
-    """One (batch*head, q-block) program: iterate KV blocks with online
-    softmax. Shapes: q (1, bq, d), k/v (1, Skv_pad, d), o (1, bq, d)."""
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale, kv_len, block_k):
+    """Grid (B*H, n_q, n_kv): the kv axis iterates fastest, so scratch
+    (m, l, acc) accumulates the online softmax across KV blocks while
+    Pallas double-buffers the K/V block DMAs. Shapes per program:
+    q (1, bq, d), k/v (1, bk, d), o (1, bq, d)."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    bq, d = q_ref.shape[1], q_ref.shape[2]
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale
-    bq, d = q.shape
-    skv_pad = k_ref.shape[1]
-    n_kv = skv_pad // block_k
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
+    logits = jnp.where(col < kv_len, logits, -1e30)
 
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + i * block_k
-        logits = jnp.where(col < kv_len, logits, -1e30)
-        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(logits - m_cur)
-        l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_cur, l_cur, acc
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(logits - m_cur)
+    l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_cur
+    l_ref[:] = l_cur
 
-    m0 = jnp.full((bq, 1), -1e30, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _flash_attention_pallas(
@@ -152,19 +162,23 @@ def _flash_attention_pallas(
         return x.transpose(0, 2, 1, 3).reshape(b * h, s_pad, d_pad)
 
     qp, kp, vp = prep(q, sq_pad), prep(k, skv_pad), prep(v, skv_pad)
-    grid = (b * h, sq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
-        grid=(grid[0], grid[1]),
+        grid=(b * h, sq_pad // block_q, skv_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, skv_pad, d_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, skv_pad, d_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
     )(qp, kp, vp)
     out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     return out.transpose(0, 2, 1, 3)
