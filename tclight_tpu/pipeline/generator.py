@@ -337,8 +337,36 @@ class Generator:
             return jax.random.normal(key, (n_frames, lat_h, lat_w, 4))
         raise NotImplementedError(self.noise_mode)
 
+    def composite_background(self, frames: np.ndarray) -> np.ndarray:
+        """Background-conditioned mode (generate.py:147-167): RMBG alpha
+        matte + composite over the background video/image."""
+        gen_cfg = self.config.get("generation", {})
+        bg_path = _cfg_get(gen_cfg, "background_image_path")
+        if not bg_path:
+            return frames
+        from tclight_tpu.models.briarmbg import (
+            BriaRMBG, compute_alpha_mattes, convert_rmbg_params,
+        )
+        from tclight_tpu.models.convert import load_torch_state_dict
+
+        rmbg_ckpt = _cfg_get(gen_cfg, "rmbg_ckpt")
+        model = BriaRMBG()
+        if rmbg_ckpt and Path(str(rmbg_ckpt)).exists():
+            variables = convert_rmbg_params(load_torch_state_dict(rmbg_ckpt))
+        else:
+            log.warning("no RMBG checkpoint; skipping background compositing")
+            return frames
+        alpha = compute_alpha_mattes(model, variables, frames)[..., None]
+        bg = self.data_parser.load_video(path=str(bg_path))
+        if len(bg) < len(frames):
+            bg = np.concatenate([bg] * (len(frames) // len(bg) + 1))[: len(frames)]
+        return alpha * frames + (1 - alpha) * bg[: len(frames)]
+
     def __call__(self, latents_path, output_path, frame_ids):
         frames = self.data_parser.load_video(frame_ids=frame_ids)
+        gen_cfg = self.config.get("generation", {})
+        if _cfg_get(gen_cfg, "background_cond", False):
+            frames = self.composite_background(frames)
         n, h, w, _ = frames.shape
         tracker = CostTracker()
 
