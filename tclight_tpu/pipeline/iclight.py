@@ -149,20 +149,20 @@ def build_tiny_iclight(
 
     ucfg = UNetConfig.tiny(in_channels=in_channels)
     unet = UNet2DCondition(ucfg)
-    unet_params = unet.init(
+    unet_params = jax.jit(unet.init)(
         k1, jnp.zeros((2, latent_base, latent_base, in_channels)),
         jnp.asarray(1.0), jnp.zeros((2, 77, ucfg.context_dim)),
     )
 
     vcfg = VAEConfig.tiny()
     vae = AutoencoderKL(vcfg)
-    vae_params = vae.init(k2, jnp.zeros((1, 8 * latent_base, 8 * latent_base, 3)))
+    vae_params = jax.jit(vae.init)(k2, jnp.zeros((1, 8 * latent_base, 8 * latent_base, 3)))
 
     tcfg = CLIPTextConfig.tiny()
     # context_dim of the tiny UNet must match the text model hidden size
     assert tcfg.hidden_size == ucfg.context_dim
     text_encoder = CLIPTextModel(tcfg)
-    text_params = text_encoder.init(k3, jnp.zeros((1, 77), jnp.int32))
+    text_params = jax.jit(text_encoder.init)(k3, jnp.zeros((1, 77), jnp.int32))
 
     return ICLightModels(
         unet=unet, unet_params=unet_params,
