@@ -192,7 +192,8 @@ def get_frame_ids(
             raise ValueError("need frame_range, frame_ids, or n_total")
         return list(range(n_total))
     start, end, interval = (list(frame_range) + [1])[:3]
-    if end is None:
+    if end is None or (end is not None and int(end) < 0):
+        # [0, -1, 1] / null end = "all frames" (reference example configs)
         if n_total is None:
             raise ValueError("open-ended frame_range needs n_total")
         end = n_total
