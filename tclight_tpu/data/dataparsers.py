@@ -92,11 +92,17 @@ class VideoDataParser:
         mask_bwds = np.asarray(
             get_soft_mask_bwds(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(past))
         )
-        flow_ids = np.asarray(
-            get_flowid(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(mask_bwds))
-        )
-        self.unq_inv = voxelization(flow_ids.reshape(-1))
-        self.n_unique = int(self.unq_inv.max()) + 1
+        from tclight_tpu import native
+
+        if native.available():
+            flow_ids = native.get_flowid_native(rgbs, future, mask_bwds)
+            self.unq_inv, self.n_unique = native.unique_inverse_native(flow_ids)
+        else:
+            flow_ids = np.asarray(
+                get_flowid(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(mask_bwds))
+            )
+            self.unq_inv = voxelization(flow_ids.reshape(-1))
+            self.n_unique = int(self.unq_inv.max()) + 1
         log.info("unique tracks: %d / %d pixels", self.n_unique, flow_ids.size)
         return rgbs, None, None, future, past, mask_bwds
 
