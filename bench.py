@@ -1,0 +1,180 @@
+"""End-to-end benchmark: TC-Light relighting sec/frame on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BENCH_PRESET=full, default): 30 frames @ 960x720, SD1.5-topology
+IC-Light UNet (random bf16 weights — identical compute to real weights), 25
+DPM-Solver++(SDE) steps with VidToMe token merging + global banks, VAE
+encode/decode, and the full two-stage post-optimization (35 exposure + 70
+UVT epochs) on a synthetic rolling video with analytically-known flow.
+This mirrors the reference's default workload (configs/tclight_default.yaml
+:frame_range 0..30, 960x720; BASELINE.md) end to end.
+
+vs_baseline: the reference publishes no sec/frame number (BASELINE.json
+published: {}); we use 2.0 s/frame as the assumed 40G-A100 reference cost
+for this workload (SD1.5 x 25 steps x CFG2 at 960x720 + two-stage opt on
+A100 ~= 60 s for 30 frames), so vs_baseline = 2.0 / measured. Update when a
+measured torch baseline lands.
+
+Env knobs: BENCH_PRESET=full|quick, BENCH_FRAMES, BENCH_H, BENCH_W,
+BENCH_STEPS, BENCH_UNET=sd15|mid|tiny.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_SEC_PER_FRAME = 2.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_synthetic(work: Path, n: int, h: int, w: int, shift: int = 2):
+    """Rolling-texture video + exact flow caches (so the bench measures the
+    pipeline, not Farneback)."""
+    from tclight_tpu.utils.video_io import save_frames
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.15, 0.85, (h, w, 3)).astype(np.float32)
+    # smooth the texture so it resembles natural video statistics
+    import cv2
+
+    base = cv2.GaussianBlur(base, (0, 0), 3)
+    frames = np.stack([np.roll(base, shift * t, axis=1) for t in range(n)])
+    vid_dir = work / "vid"
+    save_frames(frames, vid_dir)
+    fut = np.zeros((n, h, w, 2), np.float32)
+    fut[..., 0] = shift
+    past = -fut
+    for d, arr in (("future", fut), ("past", past)):
+        cache = work / f"vid_{d}_flow_farneback"
+        cache.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            np.save(cache / f"{i:05d}.npy", arr[i])
+    return vid_dir, frames
+
+
+def main() -> int:
+    t_start = time.time()
+    preset = os.environ.get("BENCH_PRESET", "full")
+    if preset == "quick":
+        n, h, w, steps, unet_kind = 8, 384, 512, 25, "mid"
+    else:
+        n, h, w, steps, unet_kind = 30, 720, 960, 25, "sd15"
+    n = int(os.environ.get("BENCH_FRAMES", n))
+    h = int(os.environ.get("BENCH_H", h))
+    w = int(os.environ.get("BENCH_W", w))
+    steps = int(os.environ.get("BENCH_STEPS", steps))
+    unet_kind = os.environ.get("BENCH_UNET", unet_kind)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tclight_tpu.config import ConfigDict
+    from tclight_tpu.data.dataparsers import VideoDataParser
+    from tclight_tpu.diffusion.schedulers import DPMSolverMultistepScheduler
+    from tclight_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
+    from tclight_tpu.models.unet import UNet2DCondition, UNetConfig
+    from tclight_tpu.models.vae import AutoencoderKL, VAEConfig
+    from tclight_tpu.pipeline.generator import Generator
+    from tclight_tpu.pipeline.iclight import DummyTokenizer, ICLightModels
+
+    log(f"[bench] preset={preset} frames={n} {w}x{h} steps={steps} unet={unet_kind}")
+    log(f"[bench] devices: {jax.devices()}")
+
+    key = jax.random.PRNGKey(0)
+    if unet_kind == "sd15":
+        ucfg = UNetConfig.sd15(in_channels=8)
+    elif unet_kind == "mid":
+        ucfg = UNetConfig(in_channels=8, block_out_channels=(160, 320, 640, 640),
+                          layers_per_block=2, num_heads=8, context_dim=768,
+                          dtype=jnp.bfloat16)
+    else:
+        ucfg = UNetConfig.tiny(in_channels=8, dtype=jnp.bfloat16)
+    unet = UNet2DCondition(ucfg)
+    t0 = time.time()
+    unet_params = jax.jit(unet.init)(
+        key, jnp.zeros((8, 16, 16, 8), ucfg.dtype), jnp.asarray(1.0),
+        jnp.zeros((8, 77, ucfg.context_dim), ucfg.dtype),
+    )
+    jax.block_until_ready(unet_params)
+    log(f"[bench] unet init {time.time()-t0:.1f}s")
+
+    vcfg = VAEConfig.sd15(dtype=jnp.bfloat16)
+    vae = AutoencoderKL(vcfg)
+    t0 = time.time()
+    vae_params = jax.jit(vae.init)(key, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
+    jax.block_until_ready(vae_params)
+    log(f"[bench] vae init {time.time()-t0:.1f}s")
+
+    tcfg = CLIPTextConfig.sd15()
+    text = CLIPTextModel(tcfg)
+    text_params = jax.jit(text.init)(key, jnp.zeros((1, 77), jnp.int32))
+
+    models = ICLightModels(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=DummyTokenizer(vocab_size=tcfg.vocab_size),
+        scheduler=DPMSolverMultistepScheduler(num_inference_steps=steps),
+    )
+
+    work = Path(os.environ.get("BENCH_WORKDIR", "/tmp/tclight_bench"))
+    work.mkdir(parents=True, exist_ok=True)
+    vid_dir, _ = make_synthetic(work, n, h, w)
+
+    cfg = ConfigDict({
+        "work_dir": str(work / "wd"),
+        "data": {"scene_type": "video", "rgb_path": str(vid_dir),
+                 "height": h, "width": w, "fps": 25,
+                 "flow_model": "farneback"},
+        "generation": {
+            "guidance_scale": 2.0, "n_timesteps": steps, "chunk_size": 4,
+            "chunk_ord": "mix-4", "local_merge_ratio": 0.6,
+            "merge_global": True, "global_merge_ratio": 0.5,
+            "align_batch": True, "max_downsample": 2, "noise_mode": "same",
+            "alpha_t": 0.0, "final_factor_t": 0.01, "win_size_t": 64,
+            "prompt_t": "best quality", "negative_prompt_t": "jittery",
+            "negative_prompt": "low quality", "save_frame": False,
+            "prompt": {"bench": "warm golden hour sunlight, photoreal"},
+        },
+        "post_opt": {"apply_opt": True, "epochs_exposure": 35, "epochs": 70,
+                     "batch_size": 16, "lambda_dssim": 0.2, "lambda_flow": 0.8,
+                     "lambda_tv": 0.05, "feature_lr": 0.05,
+                     "exposure_lr_init": 0.01, "exposure_lr_final": 0.001,
+                     "exposure_lr_delay_steps": 0,
+                     "exposure_lr_delay_mult": 0.0,
+                     "ms_ssim_levels": 5},
+        "seed": 7,
+    })
+    parser = VideoDataParser(cfg.data)
+    gen = Generator(models, cfg, data_parser=parser)
+
+    t_setup = time.time() - t_start
+    t0 = time.time()
+    gen(None, str(work / "out"), list(range(n)))
+    total = time.time() - t0
+    sec_per_frame = total / n
+    log(f"[bench] setup {t_setup:.1f}s, e2e {total:.1f}s "
+        f"({sec_per_frame:.2f} s/frame)")
+
+    print(json.dumps({
+        "metric": f"e2e_sec_per_frame_{w}x{h}x{n}",
+        "value": round(sec_per_frame, 4),
+        "unit": "s/frame",
+        "vs_baseline": round(BASELINE_SEC_PER_FRAME / sec_per_frame, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

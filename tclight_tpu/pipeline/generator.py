@@ -120,7 +120,11 @@ class Generator:
         pad_id = tok.eos_token_id
         chunks_ = [c + [pad_id] * (max_length - len(c)) for c in chunks_]
         token_ids = jnp.asarray(np.array(chunks_, np.int32))
-        conds = self.models.text_encoder.apply(self.models.text_params, token_ids)
+        if not hasattr(self, "_text_fn"):
+            self._text_fn = jax.jit(
+                lambda ids: self.models.text_encoder.apply(self.models.text_params, ids)
+            )
+        conds = self._text_fn(token_ids)
         return conds.reshape(1, -1, conds.shape[-1])
 
     def encode_prompt_pair(self, positive: str, negative: str):
@@ -289,6 +293,7 @@ class Generator:
         plan_rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         state = sched.init_state(x)
+        sched_step = jax.jit(lambda st, n, xx, k: sched.step(st, n, xx, k))
 
         for i, t in enumerate(timesteps):
             plan = chunklib.make_chunk_plan(
@@ -317,7 +322,7 @@ class Generator:
                 )
 
             key, sub = jax.random.split(key)
-            state, x = sched.step(state, noises, x, sub)
+            state, x = sched_step(state, noises, x, sub)
             log.info("step %d/%d t=%.1f", i + 1, t_steps, float(t))
         return x
 
