@@ -206,7 +206,7 @@ class InferenceCore:
         self.memory: MemoryState | None = None
         self._prev_flow8: np.ndarray | None = None
         self._fn = jax.jit(
-            lambda a, b, mem, init: self.model.apply(params, a, b, mem, init)
+            lambda p, a, b, mem, init: self.model.apply(p, a, b, mem, init)
         )
 
     def reset(self):
@@ -223,6 +223,6 @@ class InferenceCore:
         init = None
         if self.warm_start and self._prev_flow8 is not None:
             init = jnp.asarray(forward_interpolate(self._prev_flow8)[None])
-        flow_up, flow8, self.memory = self._fn(a, b, self.memory, init)
+        flow_up, flow8, self.memory = self._fn(self.params, a, b, self.memory, init)
         self._prev_flow8 = np.asarray(flow8[0])
         return np.asarray(flow_up[0])

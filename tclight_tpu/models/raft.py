@@ -455,7 +455,7 @@ class RAFTFlowModel:
         self.model = RAFT(config)
         self.params = params
         self._fn = jax.jit(
-            lambda a, b: self.model.apply(self.params, a, b)[0]
+            lambda p, a, b: self.model.apply(p, a, b)[0]
         )
 
     def batched_flow(self, frames_a: np.ndarray, frames_b: np.ndarray,
@@ -464,5 +464,5 @@ class RAFTFlowModel:
         for i in range(0, len(frames_a), batch):
             fa = jnp.asarray(frames_a[i : i + batch])
             fb = jnp.asarray(frames_b[i : i + batch])
-            outs.append(np.asarray(self._fn(fa, fb)))
+            outs.append(np.asarray(self._fn(self.params, fa, fb)))
         return np.concatenate(outs)

@@ -93,7 +93,12 @@ class UNetConfig:
 
 
 class Attention(nn.Module):
-    """Multi-head attention with Pallas/XLA fused backends."""
+    """Multi-head attention with Pallas/XLA fused backends.
+
+    `inject_qk=True` implements Plug-and-Play source injection
+    (utils/VidToMe/pnp_utils.py:39-106): with batch layout
+    [source, uncond, cond], every sample's Q/K are replaced by the source
+    sample's, steering edited structure toward the source."""
 
     heads: int
     dim_head: int
@@ -102,12 +107,18 @@ class Attention(nn.Module):
     backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None):
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None,
+                 inject_qk: bool = False):
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if inject_qk:
+            # batch = [src | uncond | cond] along axis 0 in thirds
+            third = q.shape[0] // 3
+            q = jnp.tile(q[:third], (3,) + (1,) * (q.ndim - 1))
+            k = jnp.tile(k[:third], (3,) + (1,) * (k.ndim - 1))
         b, sq = q.shape[0], q.shape[1]
         skv = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
@@ -143,6 +154,7 @@ class BasicTransformerBlock(nn.Module):
         flip: Optional[jnp.ndarray] = None,
         bank: Optional[jnp.ndarray] = None,
         use_global: bool = False,
+        pnp_attn: bool = False,
     ):
         dim_head = self.dim // self.heads
         attn1 = Attention(
@@ -178,16 +190,16 @@ class BasicTransformerBlock(nn.Module):
                     spec.global_ratio, flip, spec.align_batch,
                 )
                 new_bank = tome.global_unmerge(merged, mi_g, flip, l_len)
-                attn_out = attn1(merged)
+                attn_out = attn1(merged, inject_qk=pnp_attn)
                 attn_out = tome.global_unmerge(attn_out, mi_g, flip, l_len)
             else:
                 if spec.merge_global:
                     new_bank = local_merged
-                attn_out = attn1(local_merged)
+                attn_out = attn1(local_merged, inject_qk=pnp_attn)
             attn_out = tome.local_unmerge_sequence(attn_out, infos)
             attn_out = tome.split_frame(attn_out, f)
         else:
-            attn_out = attn1(h)
+            attn_out = attn1(h, inject_qk=pnp_attn)
         x = x + attn_out
         x = x + attn2(norm2(x), context)
         x = x + ff(norm3(x))
@@ -207,7 +219,8 @@ class Transformer2D(nn.Module):
     attn_backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, context, merge_active, randf, flip, bank, use_global):
+    def __call__(self, x, context, merge_active, randf, flip, bank, use_global,
+                 pnp_attn: bool = False):
         b, h, w, c = x.shape
         residual = x
         z = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
@@ -217,7 +230,7 @@ class Transformer2D(nn.Module):
             self.channels, self.heads, self.context_dim, self.tome_spec,
             dtype=self.dtype, attn_backend=self.attn_backend,
             name="transformer_blocks_0",
-        )(z, context, merge_active, randf, flip, bank, use_global)
+        )(z, context, merge_active, randf, flip, bank, use_global, pnp_attn)
         z = z.reshape(b, h, w, c)
         z = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(z)
         return z + residual, new_bank
@@ -250,6 +263,8 @@ class UNet2DCondition(nn.Module):
         flip: Optional[jnp.ndarray] = None,
         banks: Optional[dict] = None,
         use_global: bool = False,
+        pnp_attn: bool = False,
+        pnp_conv: bool = False,
     ):
         cfg = self.config
         ch = cfg.block_out_channels
@@ -317,11 +332,15 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(ch[lvl], dtype=cfg.dtype, groups=cfg.norm_groups,
                                   name=f"up_{lvl}_res_{blk}")(h, temb)
+                if pnp_conv and lvl == n_levels - 2 and blk == 0:
+                    third = h.shape[0] // 3
+                    h = jnp.tile(h[:third], (3, 1, 1, 1))
                 if has_attn[lvl]:
                     key = f"up_{lvl}_attn_{blk}"
                     active = self._merge_active(h.shape[1], h.shape[2], h0, w0)
                     h, nb = make_attn(lvl, key)(
-                        h, context, active, randf, flip, banks.get(key), use_global
+                        h, context, active, randf, flip, banks.get(key),
+                        use_global, pnp_attn,
                     )
                     if nb is not None:
                         new_banks[key] = nb

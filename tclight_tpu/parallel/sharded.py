@@ -61,7 +61,7 @@ def pad_plans_to_rounds(plan_idx, plan_valid, round_size: int):
     )
 
 
-def build_parallel_denoise_step(unet, params, chunk_size: int, guidance: float,
+def build_parallel_denoise_step(unet, chunk_size: int, guidance: float,
                                 mesh: Mesh):
     """Jitted xy denoise step over round-grouped chunk plans.
 
@@ -71,7 +71,7 @@ def build_parallel_denoise_step(unet, params, chunk_size: int, guidance: float,
     cs = chunk_size
     rs_sharding = NamedSharding(mesh, P("data"))
 
-    def pred_chunk(x_c, cc_c, embeds, t, randf, flip, banks, use_global):
+    def pred_chunk(params, x_c, cc_c, embeds, t, randf, flip, banks, use_global):
         latent = jnp.concatenate([x_c, x_c], axis=0)
         cc = jnp.concatenate([cc_c, cc_c], axis=0)
         inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
@@ -86,20 +86,21 @@ def build_parallel_denoise_step(unet, params, chunk_size: int, guidance: float,
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + guidance * (eps_c - eps_u), banks
 
-    def run_round(x, cc_all, embeds, t, idx, valid, randfs, flips, banks,
-                  use_global):
+    def run_round(params, x, cc_all, embeds, t, idx, valid, randfs, flips,
+                  banks, use_global):
         # idx: (rs, cs) — shard the round axis over 'data'
         idx = jax.lax.with_sharding_constraint(idx, rs_sharding)
         x_r = x[idx]          # (rs, cs, h, w, c)
         cc_r = cc_all[idx]
         eps, new_banks = jax.vmap(
-            pred_chunk, in_axes=(0, 0, None, None, 0, 0, None, None)
-        )(x_r, cc_r, embeds, t, randfs, flips, banks, use_global)
+            pred_chunk, in_axes=(None, 0, 0, None, None, 0, 0, None, None)
+        )(params, x_r, cc_r, embeds, t, randfs, flips, banks, use_global)
         # bank advances once per round: take the last slot's bank
         banks = jax.tree.map(lambda b: b[-1], new_banks)
         return eps, banks
 
-    def step(x, concat_conds, embeds, t, plan_idx, plan_valid, randfs, flips):
+    def step(params, x, concat_conds, embeds, t, plan_idx, plan_valid,
+             randfs, flips):
         n = x.shape[0]
         noises = jnp.zeros_like(x)
 
@@ -110,7 +111,7 @@ def build_parallel_denoise_step(unet, params, chunk_size: int, guidance: float,
             )
 
         eps0, banks = run_round(
-            x, concat_conds, embeds, t, plan_idx[0], plan_valid[0],
+            params, x, concat_conds, embeds, t, plan_idx[0], plan_valid[0],
             randfs[0], flips[0], None, False,
         )
         noises = scatter(noises, eps0, plan_idx[0], plan_valid[0])
@@ -120,8 +121,8 @@ def build_parallel_denoise_step(unet, params, chunk_size: int, guidance: float,
                 noises, banks = carry
                 idx, valid, randf, flip = inp
                 eps, banks = run_round(
-                    x, concat_conds, embeds, t, idx, valid, randf, flip,
-                    banks, True,
+                    params, x, concat_conds, embeds, t, idx, valid, randf,
+                    flip, banks, True,
                 )
                 return (scatter(noises, eps, idx, valid), banks), None
 

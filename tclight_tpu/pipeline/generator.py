@@ -121,10 +121,10 @@ class Generator:
         chunks_ = [c + [pad_id] * (max_length - len(c)) for c in chunks_]
         token_ids = jnp.asarray(np.array(chunks_, np.int32))
         if not hasattr(self, "_text_fn"):
-            self._text_fn = jax.jit(
-                lambda ids: self.models.text_encoder.apply(self.models.text_params, ids)
-            )
-        conds = self._text_fn(token_ids)
+            # params passed as an ARGUMENT: closed-over arrays would be
+            # embedded as HLO constants (huge compile uploads on axon)
+            self._text_fn = jax.jit(self.models.text_encoder.apply)
+        conds = self._text_fn(self.models.text_params, token_ids)
         return conds.reshape(1, -1, conds.shape[-1])
 
     def encode_prompt_pair(self, positive: str, negative: str):
@@ -143,33 +143,37 @@ class Generator:
 
     # ---------------------------------------------------------------- VAE
 
+    def _vae_fns(self):
+        if not hasattr(self, "_enc_fn"):
+            vae = self.models.vae
+            scale = self.models.latent_scale
+
+            @jax.jit
+            def enc(params, x):
+                mean, _ = vae.apply(params, 2.0 * x - 1.0, method=vae.encode)
+                return mean * scale
+
+            @jax.jit
+            def dec(params, z):
+                img = vae.apply(params, z / scale, method=vae.decode)
+                return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
+
+            self._enc_fn, self._dec_fn = enc, dec
+        return self._enc_fn, self._dec_fn
+
     def encode_imgs_batch(self, frames: np.ndarray) -> jnp.ndarray:
         """[0,1] frames -> scaled latents (posterior mean * 0.18215)."""
-        vae, params = self.models.vae, self.models.vae_params
-        scale = self.models.latent_scale
-
-        @jax.jit
-        def enc(x):
-            mean, _ = vae.apply(params, 2.0 * x - 1.0, method=vae.encode)
-            return mean * scale
-
+        enc, _ = self._vae_fns()
         outs = [
-            enc(jnp.asarray(frames[i : i + self._vae_batch]))
+            enc(self.models.vae_params, jnp.asarray(frames[i : i + self._vae_batch]))
             for i in range(0, len(frames), self._vae_batch)
         ]
         return jnp.concatenate(outs, axis=0)
 
     def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
-        vae, params = self.models.vae, self.models.vae_params
-        scale = self.models.latent_scale
-
-        @jax.jit
-        def dec(z):
-            img = vae.apply(params, z / scale, method=vae.decode)
-            return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
-
+        _, dec = self._vae_fns()
         outs = [
-            dec(latents[i : i + self._vae_batch])
+            dec(self.models.vae_params, latents[i : i + self._vae_batch])
             for i in range(0, len(latents), self._vae_batch)
         ]
         return jnp.concatenate(outs, axis=0)
@@ -178,12 +182,14 @@ class Generator:
 
     def _build_step_fn(self):
         """One jitted xy denoising step: scatter-gathered chunk UNet passes
-        with token merging and CFG, then fused into the noise buffer."""
-        unet, params = self.models.unet, self.models.unet_params
+        with token merging and CFG, then fused into the noise buffer.
+        Params enter as an argument (axon: closed-over arrays become HLO
+        constants and blow up the remote-compile upload)."""
+        unet = self.models.unet
         g = self.guidance_scale
         cs = self.chunk_size
 
-        def pred_chunk(x_c, cc_c, embeds, t, randf, flip, banks, use_global):
+        def pred_chunk(params, x_c, cc_c, embeds, t, randf, flip, banks, use_global):
             # CFG batch: [uncond frames | cond frames] (generate.py:296-301)
             latent = jnp.concatenate([x_c, x_c], axis=0)
             cc = jnp.concatenate([cc_c, cc_c], axis=0)
@@ -199,7 +205,8 @@ class Generator:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + g * (eps_c - eps_u), banks
 
-        def step(x, concat_conds, embeds, t, plan_idx, plan_valid, randfs, flips):
+        def step(params, x, concat_conds, embeds, t, plan_idx, plan_valid,
+                 randfs, flips):
             n = x.shape[0]
             noises = jnp.zeros_like(x)
 
@@ -210,8 +217,8 @@ class Generator:
             # slot 0 initializes the global token banks
             idx0, val0 = plan_idx[0], plan_valid[0]
             e0, banks = pred_chunk(
-                x[idx0], concat_conds[idx0], embeds, t, randfs[0], flips[0],
-                None, False,
+                params, x[idx0], concat_conds[idx0], embeds, t, randfs[0],
+                flips[0], None, False,
             )
             noises = scatter(noises, e0, idx0, val0)
 
@@ -220,8 +227,8 @@ class Generator:
                     noises, banks = carry
                     idx, valid, randf, flip = inp
                     e, banks = pred_chunk(
-                        x[idx], concat_conds[idx], embeds, t, randf, flip,
-                        banks, True,
+                        params, x[idx], concat_conds[idx], embeds, t, randf,
+                        flip, banks, True,
                     )
                     return (scatter(noises, e, idx, valid), banks), None
 
@@ -231,7 +238,8 @@ class Generator:
                 )
             return noises
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        return lambda *a: jitted(self.models.unet_params, *a)
 
     def _yt_windows(self, n: int):
         """Overlapping temporal window starts (generate.py:246-258)."""

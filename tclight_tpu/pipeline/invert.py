@@ -70,8 +70,8 @@ class Inverter:
         ids = jnp.asarray(np.asarray([ids], np.int32))
         return self.models.text_encoder.apply(self.models.text_params, ids)
 
-    def _unet_eps(self, x, t, cond):
-        unet, params = self.models.unet, self.models.unet_params
+    def _unet_eps(self, params, x, t, cond):
+        unet = self.models.unet
         ctx = jnp.repeat(cond, x.shape[0], axis=0).astype(unet.config.dtype)
         eps, _ = unet.apply(params, x.astype(unet.config.dtype), t, ctx)
         return eps
@@ -85,9 +85,9 @@ class Inverter:
         save_path.mkdir(parents=True, exist_ok=True)
 
         @jax.jit
-        def invert_step(x, idx):
+        def invert_step(params, cond, x, idx):
             t = jnp.asarray(ts)[idx].astype(jnp.float32)
-            eps = self._unet_eps(x, t, cond)
+            eps = self._unet_eps(params, x, t, cond)
             return sched.step(eps, idx, x, inversion=True)
 
         x = latents
@@ -95,7 +95,8 @@ class Inverter:
         for i in reversed(range(len(ts))):  # low t -> high t
             outs = []
             for j in range(0, n, self.batch_size):
-                outs.append(invert_step(x[j : j + self.batch_size], i))
+                outs.append(invert_step(self.models.unet_params, cond,
+                                        x[j : j + self.batch_size], i))
             x = jnp.concatenate(outs, axis=0)
             t_now = float(ts[i])
             step_no = len(ts) - i
@@ -110,16 +111,17 @@ class Inverter:
         ts = sched.timesteps()
 
         @jax.jit
-        def sample_step(x, idx):
+        def sample_step(params, cond, x, idx):
             t = jnp.asarray(ts)[idx].astype(jnp.float32)
-            eps = self._unet_eps(x, t, cond)
+            eps = self._unet_eps(params, x, t, cond)
             return sched.step(eps, idx, x)
 
         n = x.shape[0]
         for i in range(len(ts)):
             outs = []
             for j in range(0, n, self.batch_size):
-                outs.append(sample_step(x[j : j + self.batch_size], i))
+                outs.append(sample_step(self.models.unet_params, cond,
+                                        x[j : j + self.batch_size], i))
             x = jnp.concatenate(outs, axis=0)
         return x
 
@@ -128,12 +130,12 @@ class Inverter:
         scale = self.models.latent_scale
 
         @jax.jit
-        def enc(img):
+        def enc(params, img):
             mean, _ = vae.apply(params, 2.0 * img - 1.0, method=vae.encode)
             return mean * scale
 
         return jnp.concatenate([
-            enc(jnp.asarray(frames[i : i + self.batch_size]))
+            enc(params, jnp.asarray(frames[i : i + self.batch_size]))
             for i in range(0, len(frames), self.batch_size)
         ])
 

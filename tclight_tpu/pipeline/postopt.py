@@ -114,7 +114,7 @@ def run_exposure_align(
     )
     tx = optax.adam(learning_rate=lr_fn)
 
-    def loss_fn(exposure, idxs, bmask):
+    def loss_fn(exposure, frames, past_flows, masks_bwd, idxs, bmask):
         edited = frames[idxs]
         pre_idx = jnp.maximum(idxs - 1, 0)
         pre_edited = frames[pre_idx]
@@ -138,11 +138,13 @@ def run_exposure_align(
         return loss
 
     @jax.jit
-    def run_epoch(exposure, opt_state, idxs_all, masks_all):
+    def run_epoch(exposure, opt_state, frames, past_flows, masks_bwd,
+                  idxs_all, masks_all):
         def body(carry, inp):
             exposure, opt_state = carry
             idxs, bmask = inp
-            loss, grads = jax.value_and_grad(loss_fn)(exposure, idxs, bmask)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                exposure, frames, past_flows, masks_bwd, idxs, bmask)
             updates, opt_state = tx.update(grads, opt_state, exposure)
             exposure = optax.apply_updates(exposure, updates)
             return (exposure, opt_state), loss
@@ -155,11 +157,15 @@ def run_exposure_align(
     rng = np.random.default_rng(seed)
     exposure = exposure0
     opt_state = tx.init(exposure)
+    frames = jnp.asarray(frames)
+    past_flows = jnp.asarray(past_flows)
+    masks_bwd_j = jnp.asarray(masks_bwd)
     history = []
     for _ in range(cfg.epochs_exposure):
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         exposure, opt_state, losses = run_epoch(
-            exposure, opt_state, jnp.asarray(idxs_all), jnp.asarray(masks_all)
+            exposure, opt_state, frames, past_flows, masks_bwd_j,
+            jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
         history.append(np.asarray(losses))
     aligned = _apply_exposure(frames, exposure)
@@ -212,7 +218,8 @@ def run_uvt(
     feature_lr = cfg.feature_lr * cfg.batch_size / n
     tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
 
-    def loss_fn(features, idxs, bmask):
+    def loss_fn(features, frames, past_flows, masks_bwd, unq_inv_frames,
+                idxs, bmask):
         pre_idx = jnp.maximum(idxs - 1, 0)
         inv_cur = unq_inv_frames[idxs].reshape(-1)
         inv_pre = unq_inv_frames[pre_idx].reshape(-1)
@@ -235,11 +242,14 @@ def run_uvt(
         return loss
 
     @jax.jit
-    def run_epoch(features, opt_state, idxs_all, masks_all):
+    def run_epoch(features, opt_state, frames, past_flows, masks_bwd,
+                  unq_inv_frames, idxs_all, masks_all):
         def body(carry, inp):
             features, opt_state = carry
             idxs, bmask = inp
-            loss, grads = jax.value_and_grad(loss_fn)(features, idxs, bmask)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                features, frames, past_flows, masks_bwd, unq_inv_frames,
+                idxs, bmask)
             updates, opt_state = tx.update(grads, opt_state, features)
             features = optax.apply_updates(features, updates)
             return (features, opt_state), loss
@@ -251,11 +261,15 @@ def run_uvt(
 
     rng = np.random.default_rng(seed)
     opt_state = tx.init(features)
+    frames_j = jnp.asarray(frames)
+    past_flows_j = jnp.asarray(past_flows)
+    masks_j = jnp.asarray(masks_bwd)
     history = []
     for _ in range(cfg.epochs):
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         features, opt_state, losses = run_epoch(
-            features, opt_state, jnp.asarray(idxs_all), jnp.asarray(masks_all)
+            features, opt_state, frames_j, past_flows_j, masks_j,
+            unq_inv_frames, jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
         history.append(np.asarray(losses))
     rendered = render_palette(features, unq_inv, (n, h, w, 3))

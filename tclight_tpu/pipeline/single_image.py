@@ -99,11 +99,11 @@ class SingleImageRelighter:
         sched = dc.replace(self.models.scheduler,
                            num_inference_steps=self.steps)
         ts = sched.timesteps()
-        unet, params = self.models.unet, self.models.unet_params
+        unet = self.models.unet
         g = self.guidance_scale
 
         @jax.jit
-        def step_eps(x, t):
+        def step_eps(params, concat_latent, cond, uncond, x, t):
             latent = jnp.concatenate([x, x], axis=0)
             cc = jnp.concatenate([concat_latent, concat_latent], axis=0)
             inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
@@ -112,14 +112,16 @@ class SingleImageRelighter:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + g * (eps_c - eps_u)
 
+        sched_step = jax.jit(sched.step)
         x = init_latent
         state = sched.init_state(x)
         state = state._replace(step_index=jnp.asarray(start_step, jnp.int32))
         key = jax.random.PRNGKey(seed)
         for i in range(start_step, len(ts)):
             key, sub = jax.random.split(key)
-            eps = step_eps(x, jnp.asarray(ts[i], jnp.float32))
-            state, x = sched.step(state, eps, x, sub)
+            eps = step_eps(self.models.unet_params, concat_latent, cond,
+                           uncond, x, jnp.asarray(ts[i], jnp.float32))
+            state, x = sched_step(state, eps, x, sub)
         return x
 
     # -- fc: foreground-conditioned (8ch) ----------------------------------
