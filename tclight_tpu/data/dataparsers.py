@@ -89,9 +89,9 @@ class VideoDataParser:
         rgbs = self.load_video(frame_ids=frame_ids)
         future = self.load_flow(rgbs, frame_ids, "future")
         past = self.load_flow(rgbs, frame_ids, "past")
-        mask_bwds = np.asarray(
-            get_soft_mask_bwds(jnp.asarray(rgbs), jnp.asarray(future), jnp.asarray(past))
-        )
+        from tclight_tpu.ops.flow import get_soft_mask_bwds_chunked
+
+        mask_bwds = get_soft_mask_bwds_chunked(rgbs, future, past, chunk=8)
         from tclight_tpu import native
 
         if native.available():

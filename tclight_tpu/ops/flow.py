@@ -140,6 +140,58 @@ def get_soft_mask_bwds(
     )
 
 
+@jax.jit
+def get_soft_mask_pairs(
+    prev_imgs: jnp.ndarray,
+    cur_imgs: jnp.ndarray,
+    fwd_flows: jnp.ndarray,   # flow prev -> cur
+    past_flows: jnp.ndarray,  # flow cur -> prev
+    global_max: jnp.ndarray,
+    alpha: float = 0.1,
+    beta: float = 1e2,
+    diff_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Pairwise form of `get_soft_mask_bwds` for bounded-memory chunking
+    over long videos (the reference batches 64 frames for the same reason,
+    flow_utils.py:44). Returns the mask for each `cur` frame."""
+    fwd2bwd = warp_flow(fwd_flows, past_flows)
+    flow_term = jax.nn.sigmoid(
+        -beta * (_norm2(past_flows + fwd2bwd)
+                 - (_norm2(past_flows) + _norm2(fwd2bwd) + 1.0) * alpha)
+    )
+    warped = warp_flow(prev_imgs, past_flows)
+    diff = jnp.max(jnp.abs(warped - cur_imgs), axis=-1)
+    photo_term = jax.nn.sigmoid(-beta * (diff - global_max * diff_threshold))
+    return flow_term * photo_term
+
+
+def get_soft_mask_bwds_chunked(
+    org_images: np.ndarray, flows: np.ndarray, past_flows: np.ndarray,
+    chunk: int = 8, **kw,
+) -> np.ndarray:
+    """Host-driven chunked soft masks: bounded HBM for long/large videos."""
+    n = org_images.shape[0]
+    out = np.ones(org_images.shape[:3], np.float32)
+    gmax = jnp.asarray(float(org_images.max()))
+    i = 1
+    while i < n:
+        j = min(i + chunk, n)
+        pad = chunk - (j - i)
+        sl_prev = np.arange(i - 1, j - 1)
+        sl_cur = np.arange(i, j)
+        if pad:
+            sl_prev = np.concatenate([sl_prev, [sl_prev[-1]] * pad])
+            sl_cur = np.concatenate([sl_cur, [sl_cur[-1]] * pad])
+        m = get_soft_mask_pairs(
+            jnp.asarray(org_images[sl_prev]), jnp.asarray(org_images[sl_cur]),
+            jnp.asarray(flows[sl_prev]), jnp.asarray(past_flows[sl_cur]),
+            gmax, **kw,
+        )
+        out[i:j] = np.asarray(m)[: j - i]
+        i = j
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("rgb_threshold",))
 def get_flowid(
     frames: jnp.ndarray,

@@ -123,3 +123,14 @@ def test_voxelization_spatial():
     inv = voxelization(ids, rgb, coord, voxel_size=1.0)
     assert len(set(inv.tolist())) == 2
     assert (inv[:4] == inv[0]).all() and (inv[4:] == inv[4]).all()
+
+
+def test_soft_mask_chunked_matches_full():
+    frames, fwd, bwd = make_translating_square(n=7)
+    from tclight_tpu.ops.flow import get_soft_mask_bwds_chunked
+
+    full = np.asarray(
+        get_soft_mask_bwds(jnp.asarray(frames), jnp.asarray(fwd), jnp.asarray(bwd))
+    )
+    chunked = get_soft_mask_bwds_chunked(frames, fwd, bwd, chunk=3)
+    np.testing.assert_allclose(chunked, full, atol=1e-5)
