@@ -37,7 +37,7 @@ class ChunkPlan:
 
 def n_chunk_slots(n_frames: int, chunk_size: int) -> int:
     """Fixed slot count covering the worst-case split (rand_first=1)."""
-    if n_frames <= chunk_size:
+    if n_frames <= 1:
         return 1
     return 1 + int(np.ceil((n_frames - 1) / chunk_size))
 

@@ -384,7 +384,23 @@ class Generator:
         tracker = CostTracker()
 
         init_noise = self.prepare_init_noise(n, h, w, self.seed)
-        concat_conds = self.encode_imgs_batch(frames)
+        if self.models.model_key == "iclight":
+            concat_conds = self.encode_imgs_batch(frames)
+            if self.models.unet.config.in_channels == 12:
+                # fbc: foreground + background latents (init_iclight_bg,
+                # model_utils.py:97-179)
+                bg_path = _cfg_get(gen_cfg, "background_image_path")
+                if bg_path:
+                    bg = self.data_parser.load_video(path=str(bg_path))
+                    if len(bg) < n:
+                        bg = np.concatenate([bg] * (n // len(bg) + 1))[:n]
+                    bg_lat = self.encode_imgs_batch(bg[:n])
+                else:
+                    bg_lat = jnp.zeros_like(concat_conds)
+                concat_conds = jnp.concatenate([concat_conds, bg_lat], axis=-1)
+        else:
+            # generic SD path: no conditioning channels (zero-width concat)
+            concat_conds = jnp.zeros(init_noise.shape[:3] + (0,))
 
         results = {}
         for edit_name, edit_prompt in self.prompts.items():

@@ -171,3 +171,43 @@ def build_tiny_iclight(
         tokenizer=DummyTokenizer(vocab_size=tcfg.vocab_size),
         scheduler=DPMSolverMultistepScheduler(num_inference_steps=num_inference_steps),
     )
+
+
+def load_sd(
+    model_dir: str | Path,
+    sd_version: str = "1.5",
+    num_inference_steps: int = 50,
+    dtype=jnp.bfloat16,
+) -> ICLightModels:
+    """Generic SD pipeline factory for the non-IC-Light inversion/editing
+    path (utils/VidToMe/utils.py init_model :19-67; SD 1.5/2.0/2.1; the
+    'depth' variant additionally concatenates a depth channel prepared by
+    data/controlnet_utils-style preprocessing)."""
+    model_dir = Path(model_dir)
+    in_channels = 5 if sd_version == "depth" else 4
+    sd_unet = load_torch_state_dict(model_dir / "unet.safetensors")
+    if sd_version == "depth":
+        sd_unet = expand_conv_in(sd_unet, in_channels)
+    unet_params = convert_unet(sd_unet)
+    unet = UNet2DCondition(UNetConfig.sd15(in_channels=in_channels, dtype=dtype))
+    vae_params = convert_vae(load_torch_state_dict(model_dir / "vae.safetensors"))
+    vae = AutoencoderKL(VAEConfig.sd15(dtype=dtype))
+    text_params = convert_clip_text(
+        load_torch_state_dict(model_dir / "text_encoder.safetensors")
+    )
+    text_encoder = CLIPTextModel(CLIPTextConfig.sd15())
+    tok_dir = model_dir / "tokenizer"
+    tokenizer = load_tokenizer(tok_dir) if tok_dir.exists() else DummyTokenizer()
+    cast = lambda p: jax.tree.map(
+        lambda a: jnp.asarray(a, dtype)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
+        p,
+    )
+    return ICLightModels(
+        unet=unet, unet_params=cast(unet_params),
+        vae=vae, vae_params=cast(vae_params),
+        text_encoder=text_encoder, text_params=text_params,
+        tokenizer=tokenizer,
+        scheduler=DPMSolverMultistepScheduler(num_inference_steps=num_inference_steps),
+        model_key=sd_version,
+    )
