@@ -402,6 +402,12 @@ class Generator:
             # generic SD path: no conditioning channels (zero-width concat)
             concat_conds = jnp.zeros(init_noise.shape[:3] + (0,))
 
+        # flow/track preprocessing up front, before HBM fills with denoise
+        # buffers (prompt-independent; flows are disk-cached anyway)
+        past_flows = mask_bwds = None
+        if self.apply_opt and self.data_parser is not None:
+            _, _, _, _, past_flows, mask_bwds = self.data_parser.load_data(frame_ids)
+
         results = {}
         for edit_name, edit_prompt in self.prompts.items():
             if edit_prompt is None:
@@ -419,8 +425,7 @@ class Generator:
             clean_frames = self.decode_latents_batch(clean_latent)
 
             losses_exposure = losses_uvt = np.zeros(0)
-            if self.apply_opt and self.data_parser is not None:
-                _, _, _, _, past_flows, mask_bwds = self.data_parser.load_data(frame_ids)
+            if self.apply_opt and past_flows is not None:
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.post_cfg, seed=self.seed,
