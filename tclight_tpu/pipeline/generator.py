@@ -101,6 +101,7 @@ class Generator:
         self._vae_batch = 8
         self._step_fn = None
         self._step_fn_yt = None
+        self._loop_fn = None
 
     # ------------------------------------------------------------ prompts
 
@@ -180,9 +181,10 @@ class Generator:
 
     # ------------------------------------------------------------ denoise
 
-    def _build_step_fn(self):
-        """One jitted xy denoising step: scatter-gathered chunk UNet passes
-        with token merging and CFG, then fused into the noise buffer.
+    def _step_core(self, params, x, concat_conds, embeds, t, plan_idx,
+                   plan_valid, randfs, flips):
+        """One xy denoising step (pure function): scatter-gathered chunk
+        UNet passes with token merging + CFG fused into the noise buffer.
         Params enter as an argument (axon: closed-over arrays become HLO
         constants and blow up the remote-compile upload)."""
         unet = self.models.unet
@@ -205,40 +207,39 @@ class Generator:
             eps_u, eps_c = jnp.split(eps, 2, axis=0)
             return eps_u + g * (eps_c - eps_u), banks
 
-        def step(params, x, concat_conds, embeds, t, plan_idx, plan_valid,
-                 randfs, flips):
-            n = x.shape[0]
-            noises = jnp.zeros_like(x)
+        n = x.shape[0]
+        noises = jnp.zeros_like(x)
 
-            def scatter(noises, e, idx, valid):
-                tgt = jnp.where(valid, idx, n)
-                return noises.at[tgt].set(e, mode="drop")
+        def scatter(noises, e, idx, valid):
+            tgt = jnp.where(valid, idx, n)
+            return noises.at[tgt].set(e, mode="drop")
 
-            # slot 0 initializes the global token banks
-            idx0, val0 = plan_idx[0], plan_valid[0]
-            e0, banks = pred_chunk(
-                params, x[idx0], concat_conds[idx0], embeds, t, randfs[0],
-                flips[0], None, False,
-            )
-            noises = scatter(noises, e0, idx0, val0)
+        # slot 0 initializes the global token banks
+        idx0, val0 = plan_idx[0], plan_valid[0]
+        e0, banks = pred_chunk(
+            params, x[idx0], concat_conds[idx0], embeds, t, randfs[0],
+            flips[0], None, False,
+        )
+        noises = scatter(noises, e0, idx0, val0)
 
-            if plan_idx.shape[0] > 1:
-                def body(carry, inp):
-                    noises, banks = carry
-                    idx, valid, randf, flip = inp
-                    e, banks = pred_chunk(
-                        params, x[idx], concat_conds[idx], embeds, t, randf,
-                        flip, banks, True,
-                    )
-                    return (scatter(noises, e, idx, valid), banks), None
-
-                (noises, banks), _ = jax.lax.scan(
-                    body, (noises, banks),
-                    (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+        if plan_idx.shape[0] > 1:
+            def body(carry, inp):
+                noises, banks = carry
+                idx, valid, randf, flip = inp
+                e, banks = pred_chunk(
+                    params, x[idx], concat_conds[idx], embeds, t, randf,
+                    flip, banks, True,
                 )
-            return noises
+                return (scatter(noises, e, idx, valid), banks), None
 
-        jitted = jax.jit(step)
+            (noises, banks), _ = jax.lax.scan(
+                body, (noises, banks),
+                (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+            )
+        return noises
+
+    def _build_step_fn(self):
+        jitted = jax.jit(self._step_core)
         return lambda *a: jitted(self.models.unet_params, *a)
 
     def _yt_windows(self, n: int):
@@ -286,6 +287,33 @@ class Generator:
                 noises_t = noises_t.at[sl : sl + ov].multiply(np.sqrt(0.5))
         return noises_t
 
+    def _build_loop_fn(self):
+        """The WHOLE xy sampling loop as one jitted `lax.scan` over steps:
+        zero per-step host dispatch (the axon tunnel charges 0.1-1 s per
+        dispatch). Plans/randomness precomputed host-side (SURVEY §7.1)."""
+        sched = self.scheduler
+
+        def loop(params, x, concat_conds, embeds, ts, plan_idx, plan_valid,
+                 randfs, flips, keys):
+            state = sched.init_state(x)
+
+            def body(carry, inp):
+                x, state = carry
+                t, p_idx, p_valid, rf, fl, key = inp
+                noises = self._step_core(
+                    params, x, concat_conds, embeds, t, p_idx, p_valid, rf, fl
+                )
+                state, x = sched.step(state, noises, x, key)
+                return (x, state), None
+
+            (x, state), _ = jax.lax.scan(
+                body, (x, state),
+                (ts, plan_idx, plan_valid, randfs, flips, keys),
+            )
+            return x
+
+        return jax.jit(loop)
+
     def ddim_sample(self, x, embeds, embeds_t, concat_conds, seed=None):
         """Full sampling loop (generate.py ddim_sample :207-239)."""
         seed = self.seed if seed is None else seed
@@ -300,6 +328,33 @@ class Generator:
 
         plan_rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
+
+        if self.alpha_t <= 0:
+            # xy-only: one fused scan over all steps
+            plans_idx, plans_valid, randfs_all, flips_all = [], [], [], []
+            for _ in range(t_steps):
+                plan = chunklib.make_chunk_plan(
+                    n, self.chunk_size, plan_rng, self.chunk_ord,
+                    self.tome_spec.merge_global,
+                )
+                slots = plan.indices.shape[0]
+                plans_idx.append(plan.indices)
+                plans_valid.append(plan.valid)
+                randfs_all.append(plan_rng.integers(0, 4, size=slots))
+                flips_all.append(plan_rng.random(slots) <= self.global_rand)
+            keys = jax.random.split(key, t_steps)
+            if self._loop_fn is None:
+                self._loop_fn = self._build_loop_fn()
+            return self._loop_fn(
+                self.models.unet_params, x, concat_conds, embeds,
+                jnp.asarray(timesteps, jnp.float32),
+                jnp.asarray(np.stack(plans_idx)),
+                jnp.asarray(np.stack(plans_valid)),
+                jnp.asarray(np.stack(randfs_all), jnp.int32),
+                jnp.asarray(np.stack(flips_all)),
+                keys,
+            )
+
         state = sched.init_state(x)
         sched_step = jax.jit(lambda st, n, xx, k: sched.step(st, n, xx, k))
 
