@@ -481,6 +481,16 @@ class Generator:
 
             losses_exposure = losses_uvt = np.zeros(0)
             if self.apply_opt and past_flows is not None:
+                # offload UNet params to host for the optimization stages:
+                # 16G chips can't hold SD1.5 params + denoise workspace +
+                # the 960x720 optimization backward at once. They transfer
+                # back lazily on the next prompt's sampling.
+                cpu = jax.devices("cpu")[0]
+                self.models.unet_params = jax.device_put(
+                    self.models.unet_params, cpu
+                )
+                clean_frames = jax.device_put(clean_frames, cpu)
+                clean_frames = jnp.asarray(np.asarray(clean_frames))
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.post_cfg, seed=self.seed,
