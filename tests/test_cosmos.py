@@ -137,3 +137,14 @@ def test_guardrails():
     frames = np.zeros((2, 8, 8, 3), np.float32)
     out = video_runner.postprocess(frames)
     np.testing.assert_allclose(out, frames)
+
+
+def test_latent_diffusion_decoder():
+    from tclight_tpu.cosmos.diffusion_decoder import build_tiny_decoder
+
+    dec = build_tiny_decoder()
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    out = dec(latents, ctx)
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()
