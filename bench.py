@@ -145,9 +145,11 @@ def main() -> int:
             "alpha_t": 0.0, "final_factor_t": 0.01, "win_size_t": 64,
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
             "negative_prompt": "low quality", "save_frame": False,
+            "fuse_loop": not os.environ.get("BENCH_NO_FUSE"),
             "prompt": {"bench": "warm golden hour sunlight, photoreal"},
         },
-        "post_opt": {"apply_opt": True, "epochs_exposure": 35, "epochs": 70,
+        "post_opt": {"apply_opt": not os.environ.get("BENCH_NO_OPT"),
+                     "epochs_exposure": 35, "epochs": 70,
                      "batch_size": 16, "lambda_dssim": 0.2, "lambda_flow": 0.8,
                      "lambda_tv": 0.05, "feature_lr": 0.05,
                      "exposure_lr_init": 0.01, "exposure_lr_final": 0.001,

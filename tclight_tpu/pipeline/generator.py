@@ -62,6 +62,7 @@ class Generator:
         self.prompt_t = _cfg_get(gen, "prompt_t", "best quality")
         self.negative_prompt_t = _cfg_get(gen, "negative_prompt_t", "jittery")
         self.save_frame = _cfg_get(gen, "save_frame", True)
+        self.fuse_loop = _cfg_get(gen, "fuse_loop", True)
         self.prompts = dict(_cfg_get(gen, "prompt", {"default": None}))
         self.seed = int(config.get("seed", 12345))
 
@@ -329,7 +330,7 @@ class Generator:
         plan_rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
 
-        if self.alpha_t <= 0:
+        if self.alpha_t <= 0 and self.fuse_loop:
             # xy-only: one fused scan over all steps
             plans_idx, plans_valid, randfs_all, flips_all = [], [], [], []
             for _ in range(t_steps):
