@@ -145,7 +145,7 @@ def main() -> int:
             "alpha_t": 0.0, "final_factor_t": 0.01, "win_size_t": 64,
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
             "negative_prompt": "low quality", "save_frame": False,
-            "fuse_loop": not os.environ.get("BENCH_NO_FUSE"),
+            "fuse_loop": bool(os.environ.get("BENCH_FUSE")),
             "prompt": {"bench": "warm golden hour sunlight, photoreal"},
         },
         "post_opt": {"apply_opt": not os.environ.get("BENCH_NO_OPT"),

@@ -62,7 +62,7 @@ class Generator:
         self.prompt_t = _cfg_get(gen, "prompt_t", "best quality")
         self.negative_prompt_t = _cfg_get(gen, "negative_prompt_t", "jittery")
         self.save_frame = _cfg_get(gen, "save_frame", True)
-        self.fuse_loop = _cfg_get(gen, "fuse_loop", True)
+        self.fuse_loop = _cfg_get(gen, "fuse_loop", False)  # fused scan faults the axon TPU worker (round-1); per-step is reliable
         self.prompts = dict(_cfg_get(gen, "prompt", {"default": None}))
         self.seed = int(config.get("seed", 12345))
 
