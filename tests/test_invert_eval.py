@@ -83,3 +83,14 @@ def test_evaluate_cli(tmp_path, rng):
     result = (run_dir / "result.txt").read_text()
     assert "warp-error-ssim" in result
     assert "z_fps: 2.0000" in result
+
+
+def test_ssim_uniform_reference_values(rng):
+    from tclight_tpu.eval.metrics import ssim_uniform
+
+    a = (rng.uniform(size=(32, 32, 3)) * 255).astype(np.uint8)
+    assert ssim_uniform(a, a) == pytest.approx(1.0, abs=1e-9)
+    noise = rng.integers(-30, 30, a.shape)
+    b = np.clip(a.astype(int) + noise, 0, 255).astype(np.uint8)
+    v = ssim_uniform(a, b)
+    assert 0.0 < v < 1.0
