@@ -487,6 +487,9 @@ class Generator:
                 # the 960x720 optimization backward at once. They transfer
                 # back lazily on the next prompt's sampling.
                 cpu = jax.devices("cpu")[0]
+                # drain the device queue before the big transfer (axon
+                # surfaces async faults at the next transfer otherwise)
+                clean_frames = jax.block_until_ready(clean_frames)
                 self.models.unet_params = jax.device_put(
                     self.models.unet_params, cpu
                 )
