@@ -318,6 +318,12 @@ class Generator:
     def ddim_sample(self, x, embeds, embeds_t, concat_conds, seed=None):
         """Full sampling loop (generate.py ddim_sample :207-239)."""
         seed = self.seed if seed is None else seed
+        # re-device params if a previous post-opt stage offloaded them
+        leaves = jax.tree.leaves(self.models.unet_params)
+        if leaves and isinstance(leaves[0], np.ndarray):
+            self.models.unet_params = jax.tree.map(
+                jnp.asarray, self.models.unet_params
+            )
         n = x.shape[0]
         sched = self.scheduler
         timesteps = sched.timesteps()
@@ -486,14 +492,14 @@ class Generator:
                 # 16G chips can't hold SD1.5 params + denoise workspace +
                 # the 960x720 optimization backward at once. They transfer
                 # back lazily on the next prompt's sampling.
-                cpu = jax.devices("cpu")[0]
-                # drain the device queue before the big transfer (axon
-                # surfaces async faults at the next transfer otherwise)
+                # drain the device queue before transferring (axon surfaces
+                # async faults/OOMs at the next transfer otherwise)
                 clean_frames = jax.block_until_ready(clean_frames)
-                self.models.unet_params = jax.device_put(
-                    self.models.unet_params, cpu
+                # leaf-by-leaf host transfer: a whole-pytree device_put
+                # needs a ~params-sized linear staging copy in HBM and OOMs
+                self.models.unet_params = jax.tree.map(
+                    lambda a: np.asarray(a), self.models.unet_params
                 )
-                clean_frames = jax.device_put(clean_frames, cpu)
                 clean_frames = jnp.asarray(np.asarray(clean_frames))
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
