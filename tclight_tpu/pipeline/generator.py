@@ -163,22 +163,39 @@ class Generator:
             self._enc_fn, self._dec_fn = enc, dec
         return self._enc_fn, self._dec_fn
 
+    def _vae_batch_for(self, h: int, w: int) -> int:
+        """Resolution-scaled VAE batch: full-res conv activations are
+        ~(B,H,W,128)x2B; batch 8 at 960x720 is ~1.7 GB per tensor and OOMs
+        a 16G chip alongside the UNet."""
+        return max(1, min(self._vae_batch, int(self._vae_batch * (512 * 512) / max(h * w, 1))))
+
     def encode_imgs_batch(self, frames: np.ndarray) -> jnp.ndarray:
         """[0,1] frames -> scaled latents (posterior mean * 0.18215)."""
         enc, _ = self._vae_fns()
+        bs = self._vae_batch_for(frames.shape[1], frames.shape[2])
+        n = len(frames)
+        pad = (-n) % bs
+        frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)]) if pad else frames
         outs = [
-            enc(self.models.vae_params, jnp.asarray(frames[i : i + self._vae_batch]))
-            for i in range(0, len(frames), self._vae_batch)
+            enc(self.models.vae_params, jnp.asarray(frames[i : i + bs]))
+            for i in range(0, len(frames), bs)
         ]
-        return jnp.concatenate(outs, axis=0)
+        return jnp.concatenate(outs, axis=0)[:n]
 
     def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
         _, dec = self._vae_fns()
-        outs = [
-            dec(self.models.vae_params, latents[i : i + self._vae_batch])
-            for i in range(0, len(latents), self._vae_batch)
-        ]
-        return jnp.concatenate(outs, axis=0)
+        factor = self.vae_factor
+        bs = self._vae_batch_for(latents.shape[1] * factor, latents.shape[2] * factor)
+        n = len(latents)
+        pad = (-n) % bs
+        if pad:
+            latents = jnp.concatenate([latents, jnp.repeat(latents[-1:], pad, 0)])
+        outs = []
+        for i in range(0, len(latents), bs):
+            out = dec(self.models.vae_params, latents[i : i + bs])
+            # materialize to host to bound HBM (decoded video is N*H*W*3 f32)
+            outs.append(np.asarray(out))
+        return jnp.asarray(np.concatenate(outs, axis=0)[:n])
 
     # ------------------------------------------------------------ denoise
 
