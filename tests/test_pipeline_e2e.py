@@ -96,3 +96,23 @@ def test_prompt_encoding_long_prompt():
     cond, uncond = gen.encode_prompt_pair(long_prompt, "short negative")
     assert cond.shape[1] == uncond.shape[1]
     assert cond.shape[1] % 77 == 0 and cond.shape[1] >= 3 * 77
+
+
+@pytest.mark.slow
+def test_end_to_end_fbc_background(tmp_path):
+    """fbc (12-ch) background-conditioned path with a background video."""
+    vid_dir, frames = make_synthetic_video(tmp_path, n=4)
+    bg_dir = tmp_path / "bg"
+    rng = np.random.default_rng(1)
+    save_frames(rng.uniform(0.2, 0.8, (4, 32, 32, 3)).astype(np.float32), bg_dir)
+    cfg = make_config(tmp_path, vid_dir,
+                      background_image_path=str(bg_dir))
+    cfg.post_opt.apply_opt = False
+    models = build_tiny_iclight(seed=0, num_inference_steps=2, in_channels=12)
+    parser = VideoDataParser(cfg.data)
+    gen = Generator(models, cfg, data_parser=parser)
+    gen.apply_opt = False
+    results = gen(None, str(tmp_path / "out"), list(range(4)))
+    out = results["test"]
+    assert out.shape == (4, 32, 32, 3)
+    assert np.isfinite(out).all()
