@@ -411,9 +411,10 @@ class Generator:
             key, sub = jax.random.split(key)
             state, x = sched_step(state, noises, x, sub)
             # per-step sync: deep async queues degrade axon execution
-            # pathologically (>40 min for 25 queued steps); a step-boundary
-            # sync keeps the device fed at full speed
-            x = jax.block_until_ready(x)
+            # pathologically (>40 min for 25 queued steps). NB
+            # block_until_ready returns early on axon — a host scalar fetch
+            # is the reliable sync
+            _ = float(jnp.max(jnp.abs(x[0, 0])))
             log.info("step %d/%d t=%.1f", i + 1, t_steps, float(t))
         return x
 
