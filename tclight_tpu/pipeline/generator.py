@@ -490,7 +490,9 @@ class Generator:
         # buffers (prompt-independent; flows are disk-cached anyway)
         past_flows = mask_bwds = None
         if self.apply_opt and self.data_parser is not None:
+            log.info("preparing flows/masks/tracks...")
             _, _, _, _, past_flows, mask_bwds = self.data_parser.load_data(frame_ids)
+            log.info("flow data ready (%d tracks)", self.data_parser.n_unique or -1)
 
         results = {}
         for edit_name, edit_prompt in self.prompts.items():
@@ -506,7 +508,9 @@ class Generator:
             clean_latent = self.ddim_sample(
                 init_noise, (uncond, cond), (uncond_t, cond_t), concat_conds
             )
+            log.info("sampling done; decoding latents...")
             clean_frames = self.decode_latents_batch(clean_latent)
+            log.info("decode done")
 
             losses_exposure = losses_uvt = np.zeros(0)
             if self.apply_opt and past_flows is not None:
@@ -523,10 +527,12 @@ class Generator:
                     lambda a: np.asarray(a), self.models.unet_params
                 )
                 clean_frames = jnp.asarray(np.asarray(clean_frames))
+                log.info("exposure alignment (%d epochs)...", self.post_cfg.epochs_exposure)
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.post_cfg, seed=self.seed,
                 )
+                log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
                 clean_frames, losses_uvt = run_uvt(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.data_parser.unq_inv, self.data_parser.n_unique,
