@@ -143,9 +143,7 @@ def run_exposure_align(
         def body(carry, inp):
             exposure, opt_state = carry
             idxs, bmask = inp
-            # remat: recompute the warp/MS-SSIM forward in the backward
-            # pass — activation memory at 960x720x16 otherwise OOMs a 16G chip
-            loss, grads = jax.value_and_grad(jax.checkpoint(loss_fn))(
+            loss, grads = jax.value_and_grad(loss_fn)(
                 exposure, frames, past_flows, masks_bwd, idxs, bmask)
             updates, opt_state = tx.update(grads, opt_state, exposure)
             exposure = optax.apply_updates(exposure, updates)
@@ -249,7 +247,7 @@ def run_uvt(
         def body(carry, inp):
             features, opt_state = carry
             idxs, bmask = inp
-            loss, grads = jax.value_and_grad(jax.checkpoint(loss_fn))(
+            loss, grads = jax.value_and_grad(loss_fn)(
                 features, frames, past_flows, masks_bwd, unq_inv_frames,
                 idxs, bmask)
             updates, opt_state = tx.update(grads, opt_state, features)
