@@ -148,8 +148,13 @@ def main() -> int:
             "fuse_loop": bool(os.environ.get("BENCH_FUSE")),
             "prompt": {"bench": "warm golden hour sunlight, photoreal"},
         },
+        # Reference budgets are 35/70 epochs; each epoch at 960x720x30 costs
+        # ~45 s on one v5e, so by default we run a calibration slice and
+        # extrapolate linearly (epochs are homogeneous shuffled passes).
+        # BENCH_FULL_OPT=1 runs the true budgets.
         "post_opt": {"apply_opt": not os.environ.get("BENCH_NO_OPT"),
-                     "epochs_exposure": 35, "epochs": 70,
+                     "epochs_exposure": 35 if os.environ.get("BENCH_FULL_OPT") else 5,
+                     "epochs": 70 if os.environ.get("BENCH_FULL_OPT") else 7,
                      "batch_size": 16, "lambda_dssim": 0.2, "lambda_flow": 0.8,
                      "lambda_tv": 0.05, "feature_lr": 0.05,
                      "exposure_lr_init": 0.01, "exposure_lr_final": 0.001,
@@ -166,11 +171,19 @@ def main() -> int:
     try:
         gen(None, str(work / "out"), list(range(n)))
         total = time.time() - t0
+        stage = getattr(gen, "stage_times", {})
+        suffix = ""
+        if not os.environ.get("BENCH_FULL_OPT") and not os.environ.get("BENCH_NO_OPT"):
+            # linear epoch extrapolation to the reference budgets
+            exp_t = stage.get("exposure", 0.0)
+            uvt_t = stage.get("uvt", 0.0)
+            total = total + exp_t * (35 / 5 - 1) + uvt_t * (70 / 7 - 1)
+            suffix = "_postopt_extrapolated"
         sec_per_frame = total / n
-        log(f"[bench] setup {t_setup:.1f}s, e2e {total:.1f}s "
-            f"({sec_per_frame:.2f} s/frame)")
+        log(f"[bench] setup {t_setup:.1f}s, stages {stage}, e2e {total:.1f}s "
+            f"({sec_per_frame:.2f} s/frame{suffix})")
         print(json.dumps({
-            "metric": f"e2e_sec_per_frame_{w}x{h}x{n}",
+            "metric": f"e2e_sec_per_frame_{w}x{h}x{n}{suffix}",
             "value": round(sec_per_frame, 4),
             "unit": "s/frame",
             "vs_baseline": round(BASELINE_SEC_PER_FRAME / sec_per_frame, 3),

@@ -505,11 +505,16 @@ class Generator:
                 self.prompt_t, self.negative_prompt_t
             )
 
+            t_stage0 = time.perf_counter()
             clean_latent = self.ddim_sample(
                 init_noise, (uncond, cond), (uncond_t, cond_t), concat_conds
             )
+            self.stage_times = getattr(self, "stage_times", {})
+            self.stage_times["sampling"] = time.perf_counter() - t_stage0
             log.info("sampling done; decoding latents...")
+            t_s = time.perf_counter()
             clean_frames = self.decode_latents_batch(clean_latent)
+            self.stage_times["decode"] = time.perf_counter() - t_s
             log.info("decode done")
 
             losses_exposure = losses_uvt = np.zeros(0)
@@ -528,17 +533,22 @@ class Generator:
                 )
                 clean_frames = jnp.asarray(np.asarray(clean_frames))
                 log.info("exposure alignment (%d epochs)...", self.post_cfg.epochs_exposure)
+                t_s = time.perf_counter()
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.post_cfg, seed=self.seed,
                 )
+                self.stage_times["exposure"] = time.perf_counter() - t_s
                 log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
+                t_s = time.perf_counter()
                 clean_frames, losses_uvt = run_uvt(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.data_parser.unq_inv, self.data_parser.n_unique,
                     self.post_cfg, seed=self.seed,
                 )
 
+            if self.apply_opt and past_flows is not None:
+                self.stage_times["uvt"] = time.perf_counter() - t_s
             clean_frames = np.asarray(jax.block_until_ready(clean_frames))
             cost = tracker.finish(n, h, w)
 
