@@ -541,11 +541,19 @@ class Generator:
                 self.stage_times["exposure"] = time.perf_counter() - t_s
                 log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
                 t_s = time.perf_counter()
-                clean_frames, losses_uvt = run_uvt(
-                    clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
-                    self.data_parser.unq_inv, self.data_parser.n_unique,
-                    self.post_cfg, seed=self.seed,
-                )
+                try:
+                    clean_frames, losses_uvt = run_uvt(
+                        clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
+                        self.data_parser.unq_inv, self.data_parser.n_unique,
+                        self.post_cfg, seed=self.seed,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    # UVT is a refinement stage; a toolchain failure (e.g.
+                    # remote-compiler crash on the 770k-track palette graph)
+                    # must not lose the exposure-aligned result
+                    log.warning("UVT optimization failed (%s); keeping "
+                                "exposure-aligned frames", e)
+                    self.stage_times["uvt_failed"] = True
 
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
