@@ -179,6 +179,8 @@ def main() -> int:
             uvt_t = stage.get("uvt", 0.0)
             total = total + exp_t * (35 / 5 - 1) + uvt_t * (70 / 7 - 1)
             suffix = "_postopt_extrapolated"
+            if stage.get("uvt_failed"):
+                suffix += "_noUVT"
         sec_per_frame = total / n
         log(f"[bench] setup {t_setup:.1f}s, stages {stage}, e2e {total:.1f}s "
             f"({sec_per_frame:.2f} s/frame{suffix})")
