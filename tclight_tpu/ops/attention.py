@@ -115,10 +115,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k_blk = k_ref[0].astype(jnp.float32)
-    v_blk = v_ref[0].astype(jnp.float32)
-    logits = jax.lax.dot_general(
+    # keep matmul operands in the input dtype (bf16 in the SD1.5 path):
+    # bf16 x bf16 -> f32 runs the MXU at 2x f32 throughput; accumulation
+    # and the online softmax stay in f32.
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    logits = scale * jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
@@ -131,7 +134,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     p = jnp.exp(logits - m_cur)
     l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_cur
     l_ref[:] = l_cur

@@ -32,7 +32,8 @@ from tclight_tpu.models.unet import ToMeSpec
 from tclight_tpu.ops.color import adaptive_instance_normalization
 from tclight_tpu.pipeline import chunks as chunklib
 from tclight_tpu.pipeline.iclight import ICLightModels
-from tclight_tpu.pipeline.postopt import PostOptConfig, run_exposure_align, run_uvt
+from tclight_tpu.pipeline.postopt import (
+    PostOptConfig, flow_radius, run_exposure_align, run_uvt)
 from tclight_tpu.utils.logging import CostTracker, get_logger
 from tclight_tpu.utils.video_io import save_frames, save_video
 
@@ -100,8 +101,18 @@ class Generator:
         )
 
         self._vae_batch = 8
+        # host mirror of the (frozen) UNet params: offloading before
+        # post-opt then becomes a device-buffer delete instead of a 1.7 GB
+        # device->host fetch over the tunnel (~4 min measured round 1)
+        leaves = jax.tree.leaves(models.unet_params)
+        self._host_unet_params = (
+            models.unet_params
+            if leaves and isinstance(leaves[0], np.ndarray) else None
+        )
         self._step_fn = None
         self._step_fn_yt = None
+        self._step_sched_fn = None
+        self._fuse_step_fn = None
         self._loop_fn = None
 
     # ------------------------------------------------------------ prompts
@@ -260,6 +271,39 @@ class Generator:
         jitted = jax.jit(self._step_core)
         return lambda *a: jitted(self.models.unet_params, *a)
 
+    def _build_step_sched_fn(self):
+        """One fused graph per sampling step: chunked denoise + scheduler
+        update + a sync scalar output. One dispatch + one host fetch per
+        step instead of three dispatches (the axon tunnel charges
+        ~0.1-1 s per dispatch round trip)."""
+        sched = self.scheduler
+
+        def fn(params, x, state, concat_conds, embeds, t, plan_idx,
+               plan_valid, randfs, flips, key):
+            noises = self._step_core(
+                params, x, concat_conds, embeds, t, plan_idx, plan_valid,
+                randfs, flips,
+            )
+            state, x = sched.step(state, noises, x, key)
+            return x, state, jnp.max(jnp.abs(x[0, 0]))
+
+        jitted = jax.jit(fn)
+        return lambda *a: jitted(self.models.unet_params, *a)
+
+    def _build_fuse_step_fn(self):
+        """yt-fusion + scheduler update for the multi-axis path."""
+        sched = self.scheduler
+
+        def fn(noises, noises_t, alpha, state, x, key):
+            noises_t = adaptive_instance_normalization(noises_t, noises)
+            noises = (
+                jnp.sqrt(alpha) * noises_t + jnp.sqrt(1.0 - alpha) * noises
+            )
+            state, x = sched.step(state, noises, x, key)
+            return x, state, jnp.max(jnp.abs(x[0, 0]))
+
+        return jax.jit(fn)
+
     def _yt_windows(self, n: int):
         """Overlapping temporal window starts (generate.py:246-258)."""
         win = min(self.win_size_t, n)
@@ -380,7 +424,12 @@ class Generator:
             )
 
         state = sched.init_state(x)
-        sched_step = jax.jit(lambda st, n, xx, k: sched.step(st, n, xx, k))
+        if self._step_sched_fn is None:
+            self._step_sched_fn = self._build_step_sched_fn()
+        if self.alpha_t > 0 and self._fuse_step_fn is None:
+            self._fuse_step_fn = self._build_fuse_step_fn()
+        sync_every = max(1, int(_cfg_get(
+            self.config.get("generation", {}), "sync_every", 1)))
 
         for i, t in enumerate(timesteps):
             plan = chunklib.make_chunk_plan(
@@ -391,30 +440,35 @@ class Generator:
             randfs = jnp.asarray(plan_rng.integers(0, 4, size=slots), jnp.int32)
             flips = jnp.asarray(plan_rng.random(slots) <= self.global_rand)
             t_arr = jnp.asarray(t, jnp.float32)
-            noises = step_fn(
-                x, concat_conds, embeds, t_arr,
-                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
-                randfs, flips,
-            )
+            key, sub = jax.random.split(key)
 
             if self.alpha_t > 0:
+                noises = step_fn(
+                    x, concat_conds, embeds, t_arr,
+                    jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                    randfs, flips,
+                )
                 factor = self.final_factor_t ** min(i / t_steps, 1.0)
                 alpha = self.alpha_t * factor
                 noises_t = self._temporal_noises(
                     x, concat_conds, embeds_t, t_arr, plan_rng, step_fn
                 )
-                noises_t = adaptive_instance_normalization(noises_t, noises)
-                noises = (
-                    math.sqrt(alpha) * noises_t + math.sqrt(1.0 - alpha) * noises
+                x, state, sync = self._fuse_step_fn(
+                    noises, noises_t, jnp.float32(alpha), state, x, sub
                 )
-
-            key, sub = jax.random.split(key)
-            state, x = sched_step(state, noises, x, sub)
-            # per-step sync: deep async queues degrade axon execution
+            else:
+                x, state, sync = self._step_sched_fn(
+                    x, state, concat_conds, embeds, t_arr,
+                    jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                    randfs, flips, sub,
+                )
+            # periodic sync: deep async queues degrade axon execution
             # pathologically (>40 min for 25 queued steps). NB
             # block_until_ready returns early on axon — a host scalar fetch
-            # is the reliable sync
-            _ = float(jnp.max(jnp.abs(x[0, 0])))
+            # is the reliable sync. The scalar is an output of the fused
+            # step graph, so fetching it costs no extra dispatch.
+            if (i + 1) % sync_every == 0 or i == t_steps - 1:
+                _ = float(sync)
             log.info("step %d/%d t=%.1f", i + 1, t_steps, float(t))
         return x
 
@@ -526,17 +580,31 @@ class Generator:
                 # drain the device queue before transferring (axon surfaces
                 # async faults/OOMs at the next transfer otherwise)
                 clean_frames = jax.block_until_ready(clean_frames)
-                # leaf-by-leaf host transfer: a whole-pytree device_put
-                # needs a ~params-sized linear staging copy in HBM and OOMs
-                self.models.unet_params = jax.tree.map(
-                    lambda a: np.asarray(a), self.models.unet_params
-                )
+                if self._host_unet_params is None:
+                    # one-time leaf-by-leaf host fetch (a whole-pytree
+                    # device_put needs a params-sized staging copy in HBM
+                    # and OOMs); kept as the mirror for later prompts
+                    self._host_unet_params = jax.tree.map(
+                        lambda a: np.asarray(a), self.models.unet_params
+                    )
+                dev_params = self.models.unet_params
+                self.models.unet_params = self._host_unet_params
+                if jax.tree.leaves(dev_params) and isinstance(
+                    jax.tree.leaves(dev_params)[0], jax.Array
+                ):
+                    jax.tree.map(lambda a: a.delete(), dev_params)
                 clean_frames = jnp.asarray(np.asarray(clean_frames))
+                # static warp-kernel radius for the scatter-free Pallas warp
+                # (flows are fixed during post-opt); CPU keeps the gather AD
+                radius = (
+                    flow_radius(np.asarray(past_flows))
+                    if jax.default_backend() == "tpu" else None
+                )
                 log.info("exposure alignment (%d epochs)...", self.post_cfg.epochs_exposure)
                 t_s = time.perf_counter()
                 clean_frames, _, losses_exposure = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
-                    self.post_cfg, seed=self.seed,
+                    self.post_cfg, seed=self.seed, warp_radius=radius,
                 )
                 self.stage_times["exposure"] = time.perf_counter() - t_s
                 log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
@@ -545,7 +613,7 @@ class Generator:
                     clean_frames, losses_uvt = run_uvt(
                         clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                         self.data_parser.unq_inv, self.data_parser.n_unique,
-                        self.post_cfg, seed=self.seed,
+                        self.post_cfg, seed=self.seed, warp_radius=radius,
                     )
                 except Exception as e:  # noqa: BLE001
                     # UVT is a refinement stage; a toolchain failure (e.g.

@@ -31,8 +31,27 @@ from tclight_tpu.ops.color import RGB2SH, SH2RGB
 from tclight_tpu.ops.flow import warp_flow
 from tclight_tpu.ops.losses import l1_loss, relaxed_ms_ssim, tv_loss
 from tclight_tpu.ops.schedules import expon_lr_schedule
+from tclight_tpu.ops.warp_kernel import warp_flow_window
 
-__all__ = ["PostOptConfig", "run_exposure_align", "run_uvt"]
+__all__ = ["PostOptConfig", "run_exposure_align", "run_uvt", "flow_radius"]
+
+
+def flow_radius(flows, bucket: int = 4, cap: int = 128) -> int:
+    """Static warp-kernel radius for a (host) flow array: ceil(max |flow|),
+    rounded up to `bucket` (limits recompiles across prompts/videos)."""
+    m = float(np.max(np.abs(flows))) if np.size(flows) else 0.0
+    r = int(np.ceil(m / bucket)) * bucket
+    return max(bucket, min(r, cap))
+
+
+def _warp(frames, flows, radius: int | None):
+    """Warp with the TPU window kernel (scatter-free adjoint) when a static
+    radius is known; fall back to the gather implementation (whose AD is
+    fine on CPU) otherwise."""
+    if radius is None:
+        return warp_flow(frames, flows)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return warp_flow_window(frames, flows, radius, "bicubic", backend)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +117,7 @@ def run_exposure_align(
     masks_bwd: jnp.ndarray,    # (N, H, W) or (N, H, W, 1) soft masks
     cfg: PostOptConfig,
     seed: int = 0,
+    warp_radius: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
     """Optimize per-frame affine exposure, bake it in. Returns (aligned
     frames, exposure (N,3,4), loss history)."""
@@ -129,7 +149,7 @@ def run_exposure_align(
             + _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
         )
 
-        warped = warp_flow(pre_images, past_flows[idxs])
+        warped = _warp(pre_images, past_flows[idxs], warp_radius)
         m = masks_bwd[idxs]
         valid = bmask & (idxs > 0)
         flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
@@ -172,6 +192,47 @@ def run_exposure_align(
     return aligned, exposure, np.concatenate(history) if history else np.zeros(0)
 
 
+def _int_zero_cotangent(x):
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _palette_gather(features, inv_ids, perm, ids_sorted):
+    """Gather palette rows: features (P, 3) x inv_ids (B, HW) -> (B, HW, 3),
+    with a scatter-free adjoint.
+
+    XLA's VJP of a gather is a scatter-add whose unsorted per-element
+    lowering is pathological on TPU (>10 s for 11M rows on v5e).  The track
+    ids are FIXED during the UVT optimization, so each frame's pixel order
+    is presorted once host-side (`perm`, `ids_sorted`) and the adjoint is a
+    gather + sorted segment-sum (measured ~1 s for 11M rows)."""
+    return features[inv_ids]
+
+
+def _palette_gather_fwd(features, inv_ids, perm, ids_sorted):
+    return features[inv_ids], (perm, ids_sorted, features.shape[0])
+
+
+def _palette_gather_bwd(res, g):
+    perm, ids_sorted, p_pad = res
+
+    def step(acc, inp):
+        gb, pb, ib = inp
+        contrib = jax.ops.segment_sum(
+            gb[pb], ib, num_segments=p_pad, indices_are_sorted=True
+        )
+        return acc + contrib, None
+
+    adj, _ = jax.lax.scan(
+        step, jnp.zeros((p_pad, g.shape[-1]), g.dtype), (g, perm, ids_sorted)
+    )
+    return (adj, _int_zero_cotangent(perm), _int_zero_cotangent(perm),
+            _int_zero_cotangent(ids_sorted))
+
+
+_palette_gather.defvjp(_palette_gather_fwd, _palette_gather_bwd)
+
+
 def init_palette(
     frames: jnp.ndarray, unq_inv: jnp.ndarray, n_unique: int, pad_to: int | None = None
 ) -> jnp.ndarray:
@@ -201,6 +262,7 @@ def run_uvt(
     n_unique: int,
     cfg: PostOptConfig,
     seed: int = 0,
+    warp_radius: int | None = None,
 ) -> tuple[jnp.ndarray, np.ndarray]:
     """Unique-Video-Tensor optimization. Returns (rendered frames, loss
     history)."""
@@ -211,23 +273,33 @@ def run_uvt(
         masks_bwd = masks_bwd[..., None]
     # pad palette to a lane-aligned static size
     p_pad = max(128, int(np.ceil(n_unique / 128)) * 128)
-    unq_inv = jnp.asarray(unq_inv, jnp.int32)
-    unq_inv_frames = unq_inv.reshape(n, h * w)
+    # per-frame pixel order sorted by track id, computed once: the palette
+    # adjoint becomes gather + sorted segment-sum (see _palette_gather)
+    inv_np = np.asarray(unq_inv, np.int32).reshape(n, h * w)
+    perm_np = np.argsort(inv_np, axis=1, kind="stable").astype(np.int32)
+    ids_sorted_np = np.take_along_axis(inv_np, perm_np, axis=1)
+    unq_inv = jnp.asarray(inv_np.reshape(-1))
+    unq_inv_frames = jnp.asarray(inv_np)
+    perm_frames = jnp.asarray(perm_np)
+    ids_sorted_frames = jnp.asarray(ids_sorted_np)
 
     features = init_palette(frames, unq_inv, n_unique, pad_to=p_pad)
     feature_lr = cfg.feature_lr * cfg.batch_size / n
     tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
 
-    def loss_fn(features, frames, past_flows, masks_bwd, unq_inv_frames,
+    def render_fast(features, tables, idx):
+        inv_f, perm_f, ids_f = tables
+        rgb = _palette_gather(features, inv_f[idx], perm_f[idx], ids_f[idx])
+        return jnp.clip(SH2RGB(rgb), 0.0, 1.0).reshape(len(idx), h, w, 3)
+
+    def loss_fn(features, frames, past_flows, masks_bwd, tables,
                 idxs, bmask):
         pre_idx = jnp.maximum(idxs - 1, 0)
-        inv_cur = unq_inv_frames[idxs].reshape(-1)
-        inv_pre = unq_inv_frames[pre_idx].reshape(-1)
-        images = render_palette(features, inv_cur, (len(idxs), h, w, 3))
-        pre_images = render_palette(features, inv_pre, (len(idxs), h, w, 3))
+        images = render_fast(features, tables, idxs)
+        pre_images = render_fast(features, tables, pre_idx)
 
         edited = frames[idxs]
-        warped = warp_flow(pre_images, past_flows[idxs])
+        warped = _warp(pre_images, past_flows[idxs], warp_radius)
         m = masks_bwd[idxs]
         valid = bmask & (idxs > 0)
         flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
@@ -243,12 +315,12 @@ def run_uvt(
 
     @jax.jit
     def run_epoch(features, opt_state, frames, past_flows, masks_bwd,
-                  unq_inv_frames, idxs_all, masks_all):
+                  tables, idxs_all, masks_all):
         def body(carry, inp):
             features, opt_state = carry
             idxs, bmask = inp
             loss, grads = jax.value_and_grad(loss_fn)(
-                features, frames, past_flows, masks_bwd, unq_inv_frames,
+                features, frames, past_flows, masks_bwd, tables,
                 idxs, bmask)
             updates, opt_state = tx.update(grads, opt_state, features)
             features = optax.apply_updates(features, updates)
@@ -264,12 +336,13 @@ def run_uvt(
     frames_j = jnp.asarray(frames)
     past_flows_j = jnp.asarray(past_flows)
     masks_j = jnp.asarray(masks_bwd)
+    tables = (unq_inv_frames, perm_frames, ids_sorted_frames)
     history = []
     for _ in range(cfg.epochs):
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         features, opt_state, losses = run_epoch(
             features, opt_state, frames_j, past_flows_j, masks_j,
-            unq_inv_frames, jnp.asarray(idxs_all), jnp.asarray(masks_all)
+            tables, jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
         history.append(np.asarray(losses))
     rendered = render_palette(features, unq_inv, (n, h, w, 3))
