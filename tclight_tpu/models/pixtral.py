@@ -142,7 +142,8 @@ class MultimodalProjector(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="w_in")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU: torch nn.GELU default (mm_projector.py:96)
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="w_out")(x)
 
 
@@ -217,10 +218,84 @@ def prepare_dialog_tokens(tokenizer, n_image_tokens: int,
     return np.asarray([[bos] + [image_token_id] * n_image_tokens + ids], np.int32)
 
 
-def upsample_prompt_from_frames(ckpt_dir, frames: np.ndarray) -> str:
-    """Generator hook: last frame -> prompt (generate.py:536-547). Requires
-    local Pixtral checkpoints + tokenizer under `ckpt_dir`."""
-    raise NotImplementedError(
-        "Pixtral-12B checkpoint loading requires local weights; wire "
-        "convert tables + tokenizer files under the checkpoint dir."
+def load_vlm(ckpt_dir, cfg: ARConfig | None = None,
+             vit_cfg: "ViTConfig | None" = None) -> PixtralVLM:
+    """Load a Pixtral VLM from a local checkpoint dir.
+
+    Accepts either layout (converted on the fly; models/convert_ar.py):
+    - cosmos-native `model.pt` (the artifact the reference's
+      convert_pixtral_ckpt.py produces and model.py:219-299 consumes);
+    - HF hub safetensors (mistral-community/pixtral-12b style keys).
+    """
+    from pathlib import Path
+
+    from tclight_tpu.models.convert_ar import (
+        convert_vlm_checkpoint, from_hf_pixtral)
+
+    cfg = cfg or ARConfig.pixtral_12b()
+    vit_cfg = vit_cfg or ViTConfig()
+    ckpt_dir = Path(ckpt_dir)
+    ckpt: dict = {}
+    pt = ckpt_dir / "model.pt"
+    sts = sorted(ckpt_dir.glob("*.safetensors"))
+    if pt.exists():
+        import torch
+
+        raw = torch.load(pt, map_location="cpu", mmap=True, weights_only=True)
+        raw = raw.get("model", raw) if isinstance(raw, dict) else raw
+        ckpt = {k: v.float().numpy() if hasattr(v, "numpy") else v
+                for k, v in raw.items()}
+    elif sts:
+        from safetensors.numpy import load_file
+
+        for f in sts:
+            ckpt.update(load_file(str(f)))
+    else:
+        raise FileNotFoundError(f"no model.pt or *.safetensors in {ckpt_dir}")
+
+    if any(k.startswith(("language_model.", "vision_tower.")) for k in ckpt):
+        ckpt = from_hf_pixtral(
+            ckpt, llm_heads=cfg.n_heads, llm_kv_heads=cfg.n_kv_heads,
+            vit_heads=vit_cfg.n_heads,
+        )
+    llm_p, vit_p, proj_p = convert_vlm_checkpoint(
+        ckpt, llm_layers=cfg.n_layers, vit_layers=vit_cfg.n_layers
     )
+    return PixtralVLM(
+        Transformer(cfg), {"params": llm_p},
+        PixtralViT(vit_cfg), {"params": vit_p},
+        MultimodalProjector(cfg.dim), {"params": proj_p},
+        cfg,
+    )
+
+
+def upsample_prompt_from_frames(ckpt_dir, frames: np.ndarray,
+                                max_gen_len: int = 400) -> str:
+    """Generator hook: last frame -> upsampled prompt (generate.py:536-547,
+    run_chat_completion w/ temperature 0.01, top_p 0.9). Requires local
+    Pixtral checkpoints + a HF tokenizer under `ckpt_dir`."""
+    from transformers import AutoTokenizer
+
+    vlm = load_vlm(ckpt_dir)
+    tokenizer = AutoTokenizer.from_pretrained(str(ckpt_dir))
+    img = frames[-1]
+    if img.dtype != np.float32:
+        img = img.astype(np.float32) / 255.0
+    # long side <= 1024 (prepare_dialog, :74-96)
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = 1024 / max(h, w)
+    if scale < 1.0:
+        img = cv2.resize(img, (int(w * scale), int(h * scale)))
+    p = 16
+    img = img[: img.shape[0] // p * p, : img.shape[1] // p * p]
+    n_patches = (img.shape[0] // p) * (img.shape[1] // p)
+    ids = prepare_dialog_tokens(tokenizer, n_patches)
+    out = vlm.chat_completion(
+        ids, jnp.asarray(img[None]), max_gen_len=max_gen_len,
+        temperature=0.01, top_p=0.9,
+        stop_tokens=(tokenizer.eos_token_id or 2,),
+    )
+    return tokenizer.decode([t for t in np.asarray(out).tolist()
+                             if t != tokenizer.eos_token_id])

@@ -34,12 +34,27 @@ __all__ = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
-def warp_flow(frames: jnp.ndarray, flows: jnp.ndarray, mode: str = "bicubic") -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("mode", "radius"))
+def warp_flow(
+    frames: jnp.ndarray,
+    flows: jnp.ndarray,
+    mode: str = "bicubic",
+    radius: int | None = None,
+) -> jnp.ndarray:
     """Backward-warp `frames` (N,H,W,C) by `flows` (N,H,W,2):
     out[n, y, x] = frames[n, y + dy, x + dx] (zero padding, bicubic).
 
-    Mirrors flow_utils.py:5-16 (grid_sample bicubic/zeros/align_corners)."""
+    Mirrors flow_utils.py:5-16 (grid_sample bicubic/zeros/align_corners).
+
+    With a static `radius` bound on max |flow| (host-computable: flows are
+    data, not activations), the warp runs as a bounded-window stencil —
+    the Pallas kernel on TPU (~100x faster than the per-pixel gather
+    lowering; see ops/warp_kernel.py) or an unrolled shift-sum elsewhere."""
+    if radius is not None:
+        from tclight_tpu.ops.warp_kernel import warp_flow_window
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        return warp_flow_window(frames, flows, int(radius), mode, backend)
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     grid = identity_grid(h, w, dtype=flows.dtype)
     coords = grid[None] + flows[..., :2]
@@ -140,7 +155,7 @@ def get_soft_mask_bwds(
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("radius",))
 def get_soft_mask_pairs(
     prev_imgs: jnp.ndarray,
     cur_imgs: jnp.ndarray,
@@ -150,16 +165,17 @@ def get_soft_mask_pairs(
     alpha: float = 0.1,
     beta: float = 1e2,
     diff_threshold: float = 0.1,
+    radius: int | None = None,
 ) -> jnp.ndarray:
     """Pairwise form of `get_soft_mask_bwds` for bounded-memory chunking
     over long videos (the reference batches 64 frames for the same reason,
     flow_utils.py:44). Returns the mask for each `cur` frame."""
-    fwd2bwd = warp_flow(fwd_flows, past_flows)
+    fwd2bwd = warp_flow(fwd_flows, past_flows, radius=radius)
     flow_term = jax.nn.sigmoid(
         -beta * (_norm2(past_flows + fwd2bwd)
                  - (_norm2(past_flows) + _norm2(fwd2bwd) + 1.0) * alpha)
     )
-    warped = warp_flow(prev_imgs, past_flows)
+    warped = warp_flow(prev_imgs, past_flows, radius=radius)
     diff = jnp.max(jnp.abs(warped - cur_imgs), axis=-1)
     photo_term = jax.nn.sigmoid(-beta * (diff - global_max * diff_threshold))
     return flow_term * photo_term
@@ -173,6 +189,9 @@ def get_soft_mask_bwds_chunked(
     n = org_images.shape[0]
     out = np.ones(org_images.shape[:3], np.float32)
     gmax = jnp.asarray(float(org_images.max()))
+    if "radius" not in kw and jax.default_backend() == "tpu" and n > 1:
+        m = max(float(np.max(np.abs(flows))), float(np.max(np.abs(past_flows))))
+        kw["radius"] = max(4, min(int(np.ceil(m / 4)) * 4, 128))
     i = 1
     while i < n:
         j = min(i + chunk, n)
