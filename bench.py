@@ -139,8 +139,13 @@ def main() -> int:
                  "flow_model": "farneback"},
         "generation": {
             "guidance_scale": 2.0, "n_timesteps": steps, "chunk_size": 4,
-            "chunk_ord": "mix-4", "local_merge_ratio": 0.6,
-            "merge_global": True, "global_merge_ratio": 0.5,
+            "chunk_ord": "mix-4",
+            # BENCH_MERGE=off|local|full (default full) — merge ablation
+            "local_merge_ratio":
+                0.0 if os.environ.get("BENCH_MERGE") == "off" else 0.6,
+            "merge_global":
+                os.environ.get("BENCH_MERGE", "full") == "full",
+            "global_merge_ratio": 0.5,
             "align_batch": True, "max_downsample": 2, "noise_mode": "same",
             "alpha_t": 0.0, "final_factor_t": 0.01, "win_size_t": 64,
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
@@ -174,10 +179,20 @@ def main() -> int:
         stage = getattr(gen, "stage_times", {})
         suffix = ""
         if not os.environ.get("BENCH_FULL_OPT") and not os.environ.get("BENCH_NO_OPT"):
-            # linear epoch extrapolation to the reference budgets
-            exp_t = stage.get("exposure", 0.0)
-            uvt_t = stage.get("uvt", 0.0)
-            total = total + exp_t * (35 / 5 - 1) + uvt_t * (70 / 7 - 1)
+            # extrapolate to the reference budgets using the measured
+            # STEADY-STATE epoch time (first epoch carries the jit compile,
+            # which is paid once, not per epoch)
+            def steady(times, measured_total, budget):
+                if times and len(times) > 1:
+                    per_epoch = float(np.median(times[1:]))
+                else:
+                    per_epoch = measured_total / max(len(times), 1)
+                return per_epoch * (budget - len(times))
+
+            total += steady(stage.get("exposure_epochs", []),
+                            stage.get("exposure", 0.0), 35)
+            total += steady(stage.get("uvt_epochs", []),
+                            stage.get("uvt", 0.0), 70)
             suffix = "_postopt_extrapolated"
             if stage.get("uvt_failed"):
                 suffix += "_noUVT"

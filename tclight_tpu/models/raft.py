@@ -71,22 +71,38 @@ class InstanceNorm(nn.Module):
         return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
 
 
+class FrozenAffine(nn.Module):
+    """torch BatchNorm2d in eval mode: a per-channel affine with the
+    running statistics folded in by the converter (scale, bias)."""
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return x * scale + bias
+
+
+def _norm(kind: str, name: str):
+    return FrozenAffine(name=name) if kind == "batch" else InstanceNorm(name=name)
+
+
 class ResidualBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    norm: str = "instance"   # 'instance' or 'batch' (eval-mode affine)
 
     @nn.compact
     def __call__(self, x):
         y = _conv(self.planes, 3, self.stride, "conv1", self.dtype)(x)
-        y = InstanceNorm(name="norm1")(y)
+        y = _norm(self.norm, "norm1")(y)
         y = nn.relu(y)
         y = _conv(self.planes, 3, 1, "conv2", self.dtype)(y)
-        y = InstanceNorm(name="norm2")(y)
+        y = _norm(self.norm, "norm2")(y)
         y = nn.relu(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = _conv(self.planes, 1, self.stride, "downsample_0", self.dtype)(x)
-            x = InstanceNorm(name="downsample_norm")(x)
+            x = _norm(self.norm, "downsample_norm")(x)
         return nn.relu(x + y)
 
 
@@ -96,19 +112,20 @@ class BasicEncoder(nn.Module):
     output_dim: int = 256
     base: int = 64
     dtype: Dtype = jnp.float32
+    norm: str = "instance"   # reference: fnet 'instance', cnet 'batch'
 
     @nn.compact
     def __call__(self, x):
         b = self.base
         x = _conv(b, 7, 2, "conv1", self.dtype)(x)
-        x = InstanceNorm(name="norm1")(x)
+        x = _norm(self.norm, "norm1")(x)
         x = nn.relu(x)
-        x = ResidualBlock(b, 1, self.dtype, name="layer1_0")(x)
-        x = ResidualBlock(b, 1, self.dtype, name="layer1_1")(x)
-        x = ResidualBlock(b * 3 // 2, 2, self.dtype, name="layer2_0")(x)
-        x = ResidualBlock(b * 3 // 2, 1, self.dtype, name="layer2_1")(x)
-        x = ResidualBlock(b * 2, 2, self.dtype, name="layer3_0")(x)
-        x = ResidualBlock(b * 2, 1, self.dtype, name="layer3_1")(x)
+        x = ResidualBlock(b, 1, self.dtype, self.norm, name="layer1_0")(x)
+        x = ResidualBlock(b, 1, self.dtype, self.norm, name="layer1_1")(x)
+        x = ResidualBlock(b * 3 // 2, 2, self.dtype, self.norm, name="layer2_0")(x)
+        x = ResidualBlock(b * 3 // 2, 1, self.dtype, self.norm, name="layer2_1")(x)
+        x = ResidualBlock(b * 2, 2, self.dtype, self.norm, name="layer3_0")(x)
+        x = ResidualBlock(b * 2, 1, self.dtype, self.norm, name="layer3_1")(x)
         return _conv(self.output_dim, 1, 1, "conv2", self.dtype)(x)
 
 
@@ -163,10 +180,13 @@ def corr_lookup(pyramid: list, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
     (B, H, W, 2) -> (B, H, W, levels*(2r+1)^2). (corr.py CorrBlock.__call__)"""
     b, h, w, _ = coords.shape
     r = radius
+    # torch quirk (corr.py:99-105): delta = stack(meshgrid(dy, dx)) is added
+    # onto (x, y) coords, so the flattened window order is X-MAJOR —
+    # checkpoint conv weights depend on this exact channel order
     dx, dy = jnp.meshgrid(
         jnp.arange(-r, r + 1, dtype=jnp.float32),
         jnp.arange(-r, r + 1, dtype=jnp.float32),
-        indexing="xy",
+        indexing="ij",
     )
     offs_x = dx.reshape(-1)
     offs_y = dy.reshape(-1)
@@ -205,10 +225,13 @@ def corr_lookup_chunked(
     f1_flat = f1.reshape(b, q, c)
     outs = []
     r = radius
+    # torch quirk (corr.py:99-105): delta = stack(meshgrid(dy, dx)) is added
+    # onto (x, y) coords, so the flattened window order is X-MAJOR —
+    # checkpoint conv weights depend on this exact channel order
     dx, dy = jnp.meshgrid(
         jnp.arange(-r, r + 1, dtype=jnp.float32),
         jnp.arange(-r, r + 1, dtype=jnp.float32),
-        indexing="xy",
+        indexing="ij",
     )
     for lvl, f2l in enumerate(f2_levels):
         hl, wl = f2l.shape[1], f2l.shape[2]
@@ -339,9 +362,10 @@ class RAFT(nn.Module):
         x2 = 2.0 * image2 - 1.0
 
         fnet = BasicEncoder(cfg.fnet_dim, base=cfg.fnet_dim // 4,
-                            dtype=cfg.dtype, name="fnet")
+                            dtype=cfg.dtype, norm="instance", name="fnet")
         cnet = BasicEncoder(cfg.hidden_dim + cfg.context_dim,
-                            base=cfg.fnet_dim // 4, dtype=cfg.dtype, name="cnet")
+                            base=cfg.fnet_dim // 4, dtype=cfg.dtype,
+                            norm="batch", name="cnet")
         f1 = fnet(x1)
         f2 = fnet(x2)
         ctx = cnet(x1)
@@ -392,6 +416,13 @@ def convert_raft_params(sd: dict, config: RAFTConfig = RAFTConfig()) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = val
 
+    # collect batch-norm pieces (cnet uses BatchNorm2d; eval-mode running
+    # stats fold into a per-channel affine — see FrozenAffine)
+    bn_raw: dict = {}
+
+    def put_bn(path, leaf, val):
+        bn_raw.setdefault(path, {})[leaf] = val
+
     for k, v in sd.items():
         k = k[len("module."):] if k.startswith("module.") else k
         v = np.asarray(v)
@@ -406,22 +437,25 @@ def convert_raft_params(sd: dict, config: RAFTConfig = RAFTConfig()) -> dict:
                 sub = rest[2]
                 leaf = rest[3]
                 if sub == "downsample":
-                    # torch: downsample.0 (conv) / downsample.1 (norm, no params)
-                    sub = "downsample_0" if rest[3] == "0" else None
+                    # torch: downsample.0 (conv) / downsample.1 (norm)
                     leaf = rest[4]
-                    if sub is None:
-                        continue
-                    put(f"{top}/layer{lvl}_{blk}/{sub}/"
-                        f"{'kernel' if leaf == 'weight' else 'bias'}",
-                        convw(v) if leaf == "weight" else v)
+                    if rest[3] == "0":
+                        put(f"{top}/layer{lvl}_{blk}/downsample_0/"
+                            f"{'kernel' if leaf == 'weight' else 'bias'}",
+                            convw(v) if leaf == "weight" else v)
+                    else:  # norm3 inside the Sequential (batch only)
+                        put_bn(f"{top}/layer{lvl}_{blk}/downsample_norm",
+                               leaf, v)
                     continue
                 if sub.startswith("norm"):
-                    continue  # InstanceNorm(affine=False): no params
+                    # instance norm: no params; batch norm: collect
+                    put_bn(f"{top}/layer{lvl}_{blk}/{sub}", leaf, v)
+                    continue
                 put(f"{top}/layer{lvl}_{blk}/{sub}/"
                     f"{'kernel' if leaf == 'weight' else 'bias'}",
                     convw(v) if leaf == "weight" else v)
             elif name.startswith("norm"):
-                continue
+                put_bn(f"{top}/{name}", rest[1], v)
             else:  # conv1 / conv2
                 leaf = rest[1]
                 put(f"{top}/{name}/{'kernel' if leaf == 'weight' else 'bias'}",
@@ -445,6 +479,17 @@ def convert_raft_params(sd: dict, config: RAFTConfig = RAFTConfig()) -> dict:
                 put(f"update_block/mask_{idx}/"
                     f"{'kernel' if rest[2] == 'weight' else 'bias'}",
                     convw(v) if rest[2] == "weight" else v)
+    # fold eval-mode BatchNorm running stats into FrozenAffine params.
+    # Norms with only running buffers and no weight (InstanceNorm with
+    # track_running_stats, unusual) are skipped like parameterless norms.
+    eps = 1e-5
+    for path, pieces in bn_raw.items():
+        if "weight" not in pieces:
+            continue
+        scale = pieces["weight"] / np.sqrt(pieces["running_var"] + eps)
+        bias = pieces["bias"] - pieces["running_mean"] * scale
+        put(f"{path}/scale", scale.astype(np.float32))
+        put(f"{path}/bias", bias.astype(np.float32))
     return {"params": out}
 
 

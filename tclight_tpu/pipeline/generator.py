@@ -431,7 +431,9 @@ class Generator:
         sync_every = max(1, int(_cfg_get(
             self.config.get("generation", {}), "sync_every", 1)))
 
+        self._last_step_times = []
         for i, t in enumerate(timesteps):
+            t_step0 = time.perf_counter()
             plan = chunklib.make_chunk_plan(
                 n, self.chunk_size, plan_rng, self.chunk_ord,
                 self.tome_spec.merge_global,
@@ -469,6 +471,7 @@ class Generator:
             # step graph, so fetching it costs no extra dispatch.
             if (i + 1) % sync_every == 0 or i == t_steps - 1:
                 _ = float(sync)
+            self._last_step_times.append(time.perf_counter() - t_step0)
             log.info("step %d/%d t=%.1f", i + 1, t_steps, float(t))
         return x
 
@@ -565,6 +568,9 @@ class Generator:
             )
             self.stage_times = getattr(self, "stage_times", {})
             self.stage_times["sampling"] = time.perf_counter() - t_stage0
+            self.stage_times["step_times"] = [
+                round(s, 3) for s in getattr(self, "_last_step_times", [])
+            ]
             log.info("sampling done; decoding latents...")
             t_s = time.perf_counter()
             clean_frames = self.decode_latents_batch(clean_latent)
@@ -602,19 +608,21 @@ class Generator:
                 )
                 log.info("exposure alignment (%d epochs)...", self.post_cfg.epochs_exposure)
                 t_s = time.perf_counter()
-                clean_frames, _, losses_exposure = run_exposure_align(
+                clean_frames, _, losses_exposure, exp_times = run_exposure_align(
                     clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                     self.post_cfg, seed=self.seed, warp_radius=radius,
                 )
                 self.stage_times["exposure"] = time.perf_counter() - t_s
+                self.stage_times["exposure_epochs"] = exp_times.tolist()
                 log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
                 t_s = time.perf_counter()
                 try:
-                    clean_frames, losses_uvt = run_uvt(
+                    clean_frames, losses_uvt, uvt_times = run_uvt(
                         clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
                         self.data_parser.unq_inv, self.data_parser.n_unique,
                         self.post_cfg, seed=self.seed, warp_radius=radius,
                     )
+                    self.stage_times["uvt_epochs"] = uvt_times.tolist()
                 except Exception as e:  # noqa: BLE001
                     # UVT is a refinement stage; a toolchain failure (e.g.
                     # remote-compiler crash on the 770k-track palette graph)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +121,7 @@ def run_exposure_align(
     warp_radius: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
     """Optimize per-frame affine exposure, bake it in. Returns (aligned
-    frames, exposure (N,3,4), loss history)."""
+    frames, exposure (N,3,4), loss history, per-epoch wall seconds)."""
     n = frames.shape[0]
     if masks_bwd.ndim == 3:
         masks_bwd = masks_bwd[..., None]
@@ -181,15 +182,19 @@ def run_exposure_align(
     past_flows = jnp.asarray(past_flows)
     masks_bwd_j = jnp.asarray(masks_bwd)
     history = []
+    epoch_times: list[float] = []
     for _ in range(cfg.epochs_exposure):
+        t0 = time.perf_counter()
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         exposure, opt_state, losses = run_epoch(
             exposure, opt_state, frames, past_flows, masks_bwd_j,
             jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
-        history.append(np.asarray(losses))
+        history.append(np.asarray(losses))  # host sync per epoch
+        epoch_times.append(time.perf_counter() - t0)
     aligned = _apply_exposure(frames, exposure)
-    return aligned, exposure, np.concatenate(history) if history else np.zeros(0)
+    hist = np.concatenate(history) if history else np.zeros(0)
+    return aligned, exposure, hist, np.asarray(epoch_times)
 
 
 def _int_zero_cotangent(x):
@@ -265,9 +270,9 @@ def run_uvt(
     warp_radius: int | None = None,
 ) -> tuple[jnp.ndarray, np.ndarray]:
     """Unique-Video-Tensor optimization. Returns (rendered frames, loss
-    history)."""
+    history, per-epoch wall seconds)."""
     if cfg.epochs <= 0:
-        return frames, np.zeros(0)
+        return frames, np.zeros(0), np.zeros(0)
     n, h, w, _ = frames.shape
     if masks_bwd.ndim == 3:
         masks_bwd = masks_bwd[..., None]
@@ -338,12 +343,16 @@ def run_uvt(
     masks_j = jnp.asarray(masks_bwd)
     tables = (unq_inv_frames, perm_frames, ids_sorted_frames)
     history = []
+    epoch_times: list[float] = []
     for _ in range(cfg.epochs):
+        t0 = time.perf_counter()
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         features, opt_state, losses = run_epoch(
             features, opt_state, frames_j, past_flows_j, masks_j,
             tables, jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
-        history.append(np.asarray(losses))
+        history.append(np.asarray(losses))  # host sync per epoch
+        epoch_times.append(time.perf_counter() - t0)
     rendered = render_palette(features, unq_inv, (n, h, w, 3))
-    return rendered, np.concatenate(history) if history else np.zeros(0)
+    hist = np.concatenate(history) if history else np.zeros(0)
+    return rendered, hist, np.asarray(epoch_times)

@@ -61,7 +61,7 @@ def test_chunk_plans_stacked():
 def test_exposure_align_reduces_flicker():
     frames, flows, masks, base = _static_video()
     cfg = small_cfg(epochs_exposure=20, lambda_flow=0.9)
-    aligned, exposure, losses = run_exposure_align(
+    aligned, exposure, losses, _times = run_exposure_align(
         jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks), cfg, seed=0
     )
     aligned = np.asarray(aligned)
@@ -91,7 +91,7 @@ def test_uvt_static_video_converges_to_shared_palette():
     # ground-truth tracks: static video -> every pixel is one track across time
     unq_inv = np.tile(np.arange(h * w, dtype=np.int32), n)
     cfg = small_cfg(epochs=15, lambda_flow=0.5, lambda_tv=0.0)
-    out, losses = run_uvt(
+    out, losses, _times = run_uvt(
         jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
         unq_inv, h * w, cfg, seed=0,
     )
@@ -105,7 +105,7 @@ def test_uvt_static_video_converges_to_shared_palette():
 def test_uvt_zero_epochs_noop():
     frames, flows, masks, _ = _static_video(n=2)
     cfg = small_cfg(epochs=0)
-    out, losses = run_uvt(
+    out, losses, _times = run_uvt(
         jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
         np.zeros(frames.size // 3, np.int32), 1, cfg,
     )
