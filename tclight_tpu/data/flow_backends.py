@@ -6,6 +6,9 @@ video_dataparser.py:63-156). Backends here:
 
 - "raft": our JAX RAFT (tclight_tpu/models/raft.py) when a checkpoint is
   available;
+- "memflow": the checkpoint-exact MemFlowNet GMA-SK2 streaming core
+  (tclight_tpu/models/memflow_sk.py) with forward-interpolated warm
+  starts, matching the reference's calc_flow (video_dataparser.py:141-156);
 - "farneback": OpenCV dense flow — weight-free fallback so the full
   pipeline (including flow-linked UVT optimization) runs without any
   downloaded checkpoints.
@@ -58,6 +61,22 @@ def compute_flow_pairs(
         else:
             flows[1:] = preds
         return flows
+    if backend == "memflow":
+        if raft is None:
+            raise ValueError(
+                "memflow backend requires a loaded InferenceCoreSK "
+                "(pass it via the dataparser's `raft` slot)"
+            )
+        core = raft
+        core.reset()
+        # streaming with warm start, like calc_flow (video_dataparser.py
+        # :141-156): sequential over pairs in the chosen direction
+        for i in range(n - 1):
+            if direction == "future":
+                flows[i] = core.step(frames[i], frames[i + 1])
+            else:
+                flows[i + 1] = core.step(frames[i + 1], frames[i])
+        return flows
     if backend != "farneback":
         raise ValueError(f"unknown flow backend {backend}")
     for i in range(n - 1):
@@ -68,5 +87,21 @@ def compute_flow_pairs(
     return flows
 
 
+def load_memflow_core(ckpt_path: str):
+    """Load MemFlowNet_things.pth -> streaming InferenceCoreSK
+    (eval_utils.py prepare_memflow_model:197-250 equivalent)."""
+    import torch
+
+    from tclight_tpu.models.memflow_sk import (
+        InferenceCoreSK, MemFlowNetSK, MemFlowSKConfig, convert_memflow_params)
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    cfg = MemFlowSKConfig()
+    params = convert_memflow_params(sd, cfg)
+    return InferenceCoreSK(MemFlowNetSK(cfg), params)
+
+
 def available_backends() -> list[str]:
-    return ["farneback", "raft"]
+    return ["farneback", "raft", "memflow"]
