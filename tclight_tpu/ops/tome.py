@@ -133,6 +133,10 @@ def _greedy_match(
     mn = metric * jax.lax.rsqrt(
         jnp.sum(metric.astype(jnp.float32) ** 2, axis=-1, keepdims=True) + 1e-20
     ).astype(metric.dtype)
+    if (align_batch and
+            metric.shape[0] * a_idx.shape[0] * b_idx.shape[0]
+            > _CHUNKED_MATCH_THRESHOLD):
+        return _greedy_match_chunked(mn, a_idx, b_idx, r)
     a = mn[:, a_idx]  # (B, S, C)
     b = mn[:, b_idx]  # (B, D, C)
     # hot matmul: (B, S, C) x (B, C, D) on the MXU, fp32 accumulation
@@ -156,6 +160,73 @@ def _greedy_match(
         src_idx = edge_idx[:, :r]
         unm_idx = edge_idx[:, r:]
         dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=-1)
+    return unm_idx, src_idx, dst_idx
+
+
+# scores tensors above this element count never materialize; the max /
+# argmax runs online over dst chunks (see _greedy_match_chunked)
+_CHUNKED_MATCH_THRESHOLD = 2 ** 28
+_MATCH_CHUNK = 2048
+
+
+def _greedy_match_chunked(
+    mn: jnp.ndarray, a_idx: jnp.ndarray, b_idx: jnp.ndarray, r: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """align_batch greedy matching with an online max over dst chunks.
+
+    The naive (S, B*D) score matrix is ~18 GB at 960x720 level-0 token
+    counts (23760^2 x 8 x f32): XLA lowers it as a rematerializing loop
+    fusion off the MXU (~500 ms per block on v5e). Scanning dst chunks
+    keeps each (S, chunk) dot a real MXU matmul with O(S*chunk) memory —
+    identical argmax semantics (first max wins in (b, d) scan order, the
+    same order as the reference's `(b d)` rearrange)."""
+    b_n, _, c = mn.shape
+    a = mn[:, a_idx]  # (B, S, C)
+    bt = mn[:, b_idx]  # (B, D, C)
+    s = a.shape[1]
+    d = bt.shape[1]
+    ck = _MATCH_CHUNK
+    d_pad = -(-d // ck) * ck
+    bt = jnp.pad(bt, ((0, 0), (0, d_pad - d), (0, 0)))
+    n_chunks = d_pad // ck
+    chunks = bt.reshape(b_n, n_chunks, ck, c).transpose(1, 0, 2, 3)
+    chunk_valid = (
+        jnp.arange(d_pad).reshape(n_chunks, ck) < d
+    )
+
+    def body(carry, inp):
+        node_max, node_idx, j = carry
+        blk, valid = inp  # (B, ck, C), (ck,)
+        # (B, S, ck) per-batch MXU dots, f32 accumulation
+        sc = jnp.einsum("bsc,bkc->bsk", a, blk,
+                        preferred_element_type=jnp.float32)
+        sc = jnp.where(valid[None, None, :], sc, -jnp.inf)
+        cmax = jnp.max(sc, axis=-1)          # (B, S)
+        cidx = jnp.argmax(sc, axis=-1)       # (B, S) within chunk
+        # fold batch: first max wins in b-major order (strict >)
+        def fold(carry, inp):
+            m, ix = carry
+            cm, ci, bi = inp
+            better = cm > m
+            gidx = bi * d + j * ck + ci
+            return (jnp.where(better, cm, m),
+                    jnp.where(better, gidx, ix)), None
+
+        (node_max, node_idx), _ = jax.lax.scan(
+            fold, (node_max, node_idx),
+            (cmax, cidx, jnp.arange(b_n)),
+        )
+        return (node_max, node_idx, j + 1), None
+
+    init = (jnp.full((s,), -jnp.inf, jnp.float32),
+            jnp.zeros((s,), jnp.int32), jnp.int32(0))
+    (node_max, node_idx, _), _ = jax.lax.scan(
+        body, init, (chunks, chunk_valid)
+    )
+    edge_idx = jnp.argsort(-node_max)
+    src_idx = edge_idx[:r][None]
+    unm_idx = edge_idx[r:][None]
+    dst_idx = (node_idx[src_idx[0]] % d)[None]
     return unm_idx, src_idx, dst_idx
 
 

@@ -178,3 +178,29 @@ def test_global_merge_flip_shapes(rng):
         merged, mi, _ = global_merge(local, bank, local, bank, 0.5, flip)
         restored_local = global_unmerge(merged, mi, flip, l)
         assert restored_local.shape == local.shape
+
+
+def test_greedy_match_chunked_equals_naive(rng):
+    """The online-chunked align-batch matcher (used above the memory
+    threshold) must reproduce the naive matcher exactly (no ties in
+    random float inputs)."""
+    import jax.numpy as jnp
+
+    from tclight_tpu.ops import tome
+
+    b, s, c = 3, 70, 16
+    metric = jnp.asarray(rng.standard_normal((b, 2 * s, c)).astype(np.float32))
+    mn = metric / jnp.linalg.norm(metric, axis=-1, keepdims=True)
+    a_idx = jnp.arange(s, dtype=jnp.int32)
+    b_idx = jnp.arange(s, 2 * s, dtype=jnp.int32)
+    r = 30
+    naive = tome._greedy_match(metric, a_idx, b_idx, r, True)
+    # force multiple dst chunks to exercise the online max/argmax fold
+    orig = tome._MATCH_CHUNK
+    tome._MATCH_CHUNK = 16
+    try:
+        chunked = tome._greedy_match_chunked(mn, a_idx, b_idx, r)
+    finally:
+        tome._MATCH_CHUNK = orig
+    for x, y in zip(naive, chunked):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
