@@ -15,6 +15,7 @@ Rebuilds the reference's data layer (utils/dataparsers/):
 from __future__ import annotations
 
 import os
+import time
 from pathlib import Path
 from typing import Sequence
 
@@ -86,12 +87,15 @@ class VideoDataParser:
     def load_data(self, frame_ids: Sequence[int]):
         """Returns (rgbs, None, None, future_flows, past_flows, mask_bwds)
         and sets self.unq_inv / self.n_unique."""
+        t0 = time.perf_counter()
         rgbs = self.load_video(frame_ids=frame_ids)
         future = self.load_flow(rgbs, frame_ids, "future")
         past = self.load_flow(rgbs, frame_ids, "past")
+        t1 = time.perf_counter()
         from tclight_tpu.ops.flow import get_soft_mask_bwds_chunked
 
         mask_bwds = get_soft_mask_bwds_chunked(rgbs, future, past, chunk=8)
+        t2 = time.perf_counter()
         from tclight_tpu import native
 
         if native.available():
@@ -103,7 +107,9 @@ class VideoDataParser:
             )
             self.unq_inv = voxelization(flow_ids.reshape(-1))
             self.n_unique = int(self.unq_inv.max()) + 1
-        log.info("unique tracks: %d / %d pixels", self.n_unique, flow_ids.size)
+        t3 = time.perf_counter()
+        log.info("unique tracks: %d / %d pixels (video+flows %.1fs, soft masks %.1fs, tracks %.1fs)",
+                 self.n_unique, flow_ids.size, t1 - t0, t2 - t1, t3 - t2)
         return rgbs, None, None, future, past, mask_bwds
 
 

@@ -169,7 +169,15 @@ def get_soft_mask_pairs(
 ) -> jnp.ndarray:
     """Pairwise form of `get_soft_mask_bwds` for bounded-memory chunking
     over long videos (the reference batches 64 frames for the same reason,
-    flow_utils.py:44). Returns the mask for each `cur` frame."""
+    flow_utils.py:44). Returns the mask for each `cur` frame.
+
+    Accepts compact transfer dtypes: uint8 images (scaled 1/255) and f16
+    flows are promoted to f32 on device."""
+    if prev_imgs.dtype == jnp.uint8:
+        prev_imgs = prev_imgs.astype(jnp.float32) / 255.0
+        cur_imgs = cur_imgs.astype(jnp.float32) / 255.0
+    fwd_flows = fwd_flows.astype(jnp.float32)
+    past_flows = past_flows.astype(jnp.float32)
     fwd2bwd = warp_flow(fwd_flows, past_flows, radius=radius)
     flow_term = jax.nn.sigmoid(
         -beta * (_norm2(past_flows + fwd2bwd)
@@ -185,13 +193,28 @@ def get_soft_mask_bwds_chunked(
     org_images: np.ndarray, flows: np.ndarray, past_flows: np.ndarray,
     chunk: int = 8, **kw,
 ) -> np.ndarray:
-    """Host-driven chunked soft masks: bounded HBM for long/large videos."""
+    """Host-driven chunked soft masks: bounded HBM for long/large videos.
+
+    On TPU (slow tunneled transfers) the full arrays are uploaded ONCE in
+    compact dtypes — images as uint8 (exact for uint8-sourced video, and
+    within the soft thresholds otherwise), flows as f16 — and chunk slices
+    are taken device-side; on CPU the exact f32 path is kept."""
     n = org_images.shape[0]
     out = np.ones(org_images.shape[:3], np.float32)
     gmax = jnp.asarray(float(org_images.max()))
-    if "radius" not in kw and jax.default_backend() == "tpu" and n > 1:
+    on_tpu = jax.default_backend() == "tpu"
+    if "radius" not in kw and on_tpu and n > 1:
         m = max(float(np.max(np.abs(flows))), float(np.max(np.abs(past_flows))))
         kw["radius"] = max(4, min(int(np.ceil(m / 4)) * 4, 128))
+    if on_tpu:
+        imgs_d = jnp.asarray(
+            np.clip(np.rint(org_images * 255.0), 0, 255).astype(np.uint8))
+        flows_d = jnp.asarray(flows.astype(np.float16))
+        past_d = jnp.asarray(past_flows.astype(np.float16))
+    else:
+        imgs_d = jnp.asarray(org_images)
+        flows_d = jnp.asarray(flows)
+        past_d = jnp.asarray(past_flows)
     i = 1
     while i < n:
         j = min(i + chunk, n)
@@ -202,8 +225,8 @@ def get_soft_mask_bwds_chunked(
             sl_prev = np.concatenate([sl_prev, [sl_prev[-1]] * pad])
             sl_cur = np.concatenate([sl_cur, [sl_cur[-1]] * pad])
         m = get_soft_mask_pairs(
-            jnp.asarray(org_images[sl_prev]), jnp.asarray(org_images[sl_cur]),
-            jnp.asarray(flows[sl_prev]), jnp.asarray(past_flows[sl_cur]),
+            imgs_d[sl_prev], imgs_d[sl_cur],
+            flows_d[sl_prev], past_d[sl_cur],
             gmax, **kw,
         )
         out[i:j] = np.asarray(m)[: j - i]

@@ -111,3 +111,34 @@ def test_uvt_zero_epochs_noop():
     )
     np.testing.assert_allclose(np.asarray(out), frames)
     assert losses.size == 0
+
+
+def test_palette_gather_adjoint_exact_with_collisions():
+    """The gather-based palette adjoint must match the autodiff scatter
+    VJP, including frames where track ids collide (duplicate ids within a
+    frame), and must preserve exact zeros (Adam eps=1e-15 turns sign noise
+    on near-zero gradients into full-size steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tclight_tpu.pipeline import postopt
+
+    rng = np.random.default_rng(3)
+    b, hw, p_pad = 4, 700, 256
+    inv = rng.integers(0, 200, (b, hw)).astype(np.int32)  # many collisions
+    inv_map, op, oi = postopt.palette_pixel_index(inv, p_pad)
+    feats = jnp.asarray(rng.standard_normal((p_pad, 3)).astype(np.float32))
+    g = rng.standard_normal((b, hw, 3)).astype(np.float32)
+    g[:, 100:200] = 0.0  # a zero band: adjoint rows touched only by zeros
+    g = jnp.asarray(g)
+
+    ref = jax.vjp(lambda f: f[jnp.asarray(inv)], feats)[1](g)[0]
+    got = jax.vjp(
+        lambda f: postopt._palette_gather(
+            f, jnp.asarray(inv), jnp.asarray(inv_map),
+            jnp.asarray(op), jnp.asarray(oi)),
+        feats)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # exact zero preservation
+    assert np.array_equal(np.asarray(ref) == 0, np.asarray(got) == 0)
