@@ -181,32 +181,50 @@ class Generator:
         return max(1, min(self._vae_batch, int(self._vae_batch * (512 * 512) / max(h * w, 1))))
 
     def encode_imgs_batch(self, frames: np.ndarray) -> jnp.ndarray:
-        """[0,1] frames -> scaled latents (posterior mean * 0.18215)."""
+        """[0,1] frames -> scaled latents (posterior mean * 0.18215).
+
+        On TPU the video uploads ONCE as uint8 (exact for uint8-sourced
+        video; the tunnel charges 25-80 MB/s h2d) and batches are sliced
+        and rescaled on device."""
         enc, _ = self._vae_fns()
         bs = self._vae_batch_for(frames.shape[1], frames.shape[2])
         n = len(frames)
         pad = (-n) % bs
         frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)]) if pad else frames
+        if jax.default_backend() == "tpu" and isinstance(frames, np.ndarray):
+            frames_d = jnp.asarray(
+                np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8))
+            batch = lambda i: frames_d[i : i + bs].astype(jnp.float32) / 255.0
+        else:
+            batch = lambda i: jnp.asarray(frames[i : i + bs])
         outs = [
-            enc(self.models.vae_params, jnp.asarray(frames[i : i + bs]))
+            enc(self.models.vae_params, batch(i))
             for i in range(0, len(frames), bs)
         ]
         return jnp.concatenate(outs, axis=0)[:n]
+
+    # decoded videos above this size round-trip through the host to bound
+    # HBM; below it they stay device-resident (the tunnel charges
+    # ~11-25 MB/s d2h + 25-80 MB/s h2d for the round trip)
+    _DECODE_HOST_BYTES = int(1.5e9)
 
     def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
         _, dec = self._vae_fns()
         factor = self.vae_factor
         bs = self._vae_batch_for(latents.shape[1] * factor, latents.shape[2] * factor)
         n = len(latents)
+        out_bytes = n * latents.shape[1] * latents.shape[2] * factor * factor * 3 * 4
+        to_host = out_bytes > self._DECODE_HOST_BYTES
         pad = (-n) % bs
         if pad:
             latents = jnp.concatenate([latents, jnp.repeat(latents[-1:], pad, 0)])
         outs = []
         for i in range(0, len(latents), bs):
             out = dec(self.models.vae_params, latents[i : i + bs])
-            # materialize to host to bound HBM (decoded video is N*H*W*3 f32)
-            outs.append(np.asarray(out))
-        return jnp.asarray(np.concatenate(outs, axis=0)[:n])
+            outs.append(np.asarray(out) if to_host else out)
+        if to_host:
+            return jnp.asarray(np.concatenate(outs, axis=0)[:n])
+        return jnp.concatenate(outs, axis=0)[:n]
 
     # ------------------------------------------------------------ denoise
 
@@ -599,17 +617,24 @@ class Generator:
                     jax.tree.leaves(dev_params)[0], jax.Array
                 ):
                     jax.tree.map(lambda a: a.delete(), dev_params)
-                clean_frames = jnp.asarray(np.asarray(clean_frames))
+                clean_frames = jnp.asarray(clean_frames)
                 # static warp-kernel radius for the scatter-free Pallas warp
                 # (flows are fixed during post-opt); CPU keeps the gather AD
-                radius = (
-                    flow_radius(np.asarray(past_flows))
-                    if jax.default_backend() == "tpu" else None
-                )
+                on_tpu = jax.default_backend() == "tpu"
+                radius = flow_radius(np.asarray(past_flows)) if on_tpu else None
+                if on_tpu:
+                    # compact f16 uploads over the slow tunnel, f32 on device
+                    flows_dev = jnp.asarray(
+                        np.asarray(past_flows, np.float16)).astype(jnp.float32)
+                    masks_dev = jnp.asarray(
+                        np.asarray(mask_bwds, np.float16)).astype(jnp.float32)
+                else:
+                    flows_dev = jnp.asarray(past_flows)
+                    masks_dev = jnp.asarray(mask_bwds)
                 log.info("exposure alignment (%d epochs)...", self.post_cfg.epochs_exposure)
                 t_s = time.perf_counter()
                 clean_frames, _, losses_exposure, exp_times = run_exposure_align(
-                    clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
+                    clean_frames, flows_dev, masks_dev,
                     self.post_cfg, seed=self.seed, warp_radius=radius,
                 )
                 self.stage_times["exposure"] = time.perf_counter() - t_s
@@ -618,7 +643,7 @@ class Generator:
                 t_s = time.perf_counter()
                 try:
                     clean_frames, losses_uvt, uvt_times = run_uvt(
-                        clean_frames, jnp.asarray(past_flows), jnp.asarray(mask_bwds),
+                        clean_frames, flows_dev, masks_dev,
                         self.data_parser.unq_inv, self.data_parser.n_unique,
                         self.post_cfg, seed=self.seed, warp_radius=radius,
                     )
@@ -633,7 +658,14 @@ class Generator:
 
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
-            clean_frames = np.asarray(jax.block_until_ready(clean_frames))
+            if isinstance(clean_frames, jax.Array):
+                # quantize to uint8 on device: 4x less d2h over the tunnel,
+                # and the mp4 output is 8-bit anyway
+                clean_u8 = np.asarray(jnp.clip(
+                    clean_frames * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+                clean_frames = clean_u8.astype(np.float32) / 255.0
+            else:
+                clean_frames = np.asarray(clean_frames)
             cost = tracker.finish(n, h, w)
 
             save_name = (

@@ -270,6 +270,46 @@ def _palette_gather_bwd(res, g):
 _palette_gather.defvjp(_palette_gather_fwd, _palette_gather_bwd)
 
 
+# fallback for very long videos: the dense (N, P) inverse map above costs
+# N*P*4 bytes (e.g. ~6 GB at 300 frames x ~5M tracks), while the sorted
+# CSR-style adjoint below costs N*HW and one sorted segment-sum per render
+# (~1 s per 11M rows on v5e — slower, but memory-bounded)
+_DENSE_MAP_MAX_BYTES = int(5e8)
+
+
+@jax.custom_vjp
+def _palette_gather_sorted(features, inv_ids, perm, ids_sorted):
+    """Memory-bounded variant of `_palette_gather`: per-frame pixel order
+    presorted by track id host-side; the adjoint is a gather + sorted
+    segment-sum per frame under `lax.scan` (exact)."""
+    return features[inv_ids]
+
+
+def _palette_gather_sorted_fwd(features, inv_ids, perm, ids_sorted):
+    return features[inv_ids], (perm, ids_sorted, features.shape[0])
+
+
+def _palette_gather_sorted_bwd(res, g):
+    perm, ids_sorted, p_pad = res
+
+    def step(acc, inp):
+        gb, pb, ib = inp
+        contrib = jax.ops.segment_sum(
+            gb[pb], ib, num_segments=p_pad, indices_are_sorted=True
+        )
+        return acc + contrib, None
+
+    adj, _ = jax.lax.scan(
+        step, jnp.zeros((p_pad, g.shape[-1]), g.dtype), (g, perm, ids_sorted)
+    )
+    return (adj, _int_zero_cotangent(perm), _int_zero_cotangent(perm),
+            _int_zero_cotangent(ids_sorted))
+
+
+_palette_gather_sorted.defvjp(_palette_gather_sorted_fwd,
+                              _palette_gather_sorted_bwd)
+
+
 def init_palette(
     frames: jnp.ndarray, unq_inv: jnp.ndarray, n_unique: int, pad_to: int | None = None
 ) -> jnp.ndarray:
@@ -310,24 +350,36 @@ def run_uvt(
         masks_bwd = masks_bwd[..., None]
     # pad palette to a lane-aligned static size
     p_pad = max(128, int(np.ceil(n_unique / 128)) * 128)
-    # per-frame pixel order sorted by track id, computed once: the palette
-    # adjoint becomes gather + sorted segment-sum (see _palette_gather)
+    # static track->pixel inverse maps, computed once: the palette adjoint
+    # becomes pure gathers (see _palette_gather); for palettes where the
+    # dense (N, P) map would not fit, fall back to the sorted CSR adjoint
     inv_np = np.asarray(unq_inv, np.int32).reshape(n, h * w)
-    inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(inv_np, p_pad)
+    dense_map = n * p_pad * 4 <= _DENSE_MAP_MAX_BYTES
     unq_inv = jnp.asarray(inv_np.reshape(-1))
     unq_inv_frames = jnp.asarray(inv_np)
-    inv_map_frames = jnp.asarray(inv_map_np)
-    ovf_pos_frames = jnp.asarray(ovf_pos_np)
-    ovf_ids_frames = jnp.asarray(ovf_ids_np)
+    if dense_map:
+        inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(inv_np, p_pad)
+        tables_rest = (jnp.asarray(inv_map_np), jnp.asarray(ovf_pos_np),
+                       jnp.asarray(ovf_ids_np))
+    else:
+        perm_np = np.argsort(inv_np, axis=1, kind="stable").astype(np.int32)
+        ids_sorted_np = np.take_along_axis(inv_np, perm_np, axis=1)
+        tables_rest = (jnp.asarray(perm_np), jnp.asarray(ids_sorted_np))
 
     features = init_palette(frames, unq_inv, n_unique, pad_to=p_pad)
     feature_lr = cfg.feature_lr * cfg.batch_size / n
     tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
 
     def render_fast(features, tables, idx):
-        inv_f, map_f, op_f, oi_f = tables
-        rgb = _palette_gather(features, inv_f[idx], map_f[idx],
-                              op_f[idx], oi_f[idx])
+        inv_f = tables[0]
+        if dense_map:
+            _, map_f, op_f, oi_f = tables
+            rgb = _palette_gather(features, inv_f[idx], map_f[idx],
+                                  op_f[idx], oi_f[idx])
+        else:
+            _, perm_f, ids_f = tables
+            rgb = _palette_gather_sorted(features, inv_f[idx], perm_f[idx],
+                                         ids_f[idx])
         return jnp.clip(SH2RGB(rgb), 0.0, 1.0).reshape(len(idx), h, w, 3)
 
     def loss_fn(features, frames, past_flows, masks_bwd, tables,
@@ -374,7 +426,7 @@ def run_uvt(
     frames_j = jnp.asarray(frames)
     past_flows_j = jnp.asarray(past_flows)
     masks_j = jnp.asarray(masks_bwd)
-    tables = (unq_inv_frames, inv_map_frames, ovf_pos_frames, ovf_ids_frames)
+    tables = (unq_inv_frames,) + tables_rest
     history = []
     epoch_times: list[float] = []
     for _ in range(cfg.epochs):

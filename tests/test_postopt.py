@@ -142,3 +142,22 @@ def test_palette_gather_adjoint_exact_with_collisions():
                                rtol=1e-5, atol=1e-5)
     # exact zero preservation
     assert np.array_equal(np.asarray(ref) == 0, np.asarray(got) == 0)
+
+
+def test_uvt_sorted_fallback_path(monkeypatch):
+    """Force the memory-bounded sorted-CSR adjoint (used when the dense
+    (N, P) inverse map would not fit) and check it converges the same."""
+    from tclight_tpu.pipeline import postopt
+
+    monkeypatch.setattr(postopt, "_DENSE_MAP_MAX_BYTES", 0)
+    frames, flows, masks, base = _static_video(n=4)
+    n, h, w, _ = frames.shape
+    unq_inv = np.tile(np.arange(h * w, dtype=np.int32), n)
+    cfg = small_cfg(epochs=15, lambda_flow=0.5, lambda_tv=0.0)
+    out, losses, _times = run_uvt(
+        jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
+        unq_inv, h * w, cfg, seed=0,
+    )
+    out = np.asarray(out)
+    assert out.std(axis=0).max() < 1e-4
+    np.testing.assert_allclose(out[0], frames.mean(axis=0), atol=0.08)
