@@ -102,10 +102,15 @@ def main() -> int:
         ucfg = UNetConfig.tiny(in_channels=8, dtype=jnp.bfloat16)
     unet = UNet2DCondition(ucfg)
     t0 = time.time()
-    unet_params = jax.jit(unet.init)(
-        key, jnp.zeros((8, 16, 16, 8), ucfg.dtype), jnp.asarray(1.0),
-        jnp.zeros((8, 77, ucfg.context_dim), ucfg.dtype),
-    )
+    unet_init = jax.jit(unet.init)
+
+    def make_unet_params():
+        return unet_init(
+            key, jnp.zeros((8, 16, 16, 8), ucfg.dtype), jnp.asarray(1.0),
+            jnp.zeros((8, 77, ucfg.context_dim), ucfg.dtype),
+        )
+
+    unet_params = make_unet_params()
     jax.block_until_ready(unet_params)
     log(f"[bench] unet init {time.time()-t0:.1f}s")
 
@@ -126,6 +131,9 @@ def main() -> int:
         text_encoder=text, text_params=text_params,
         tokenizer=DummyTokenizer(vocab_size=tcfg.vocab_size),
         scheduler=DPMSolverMultistepScheduler(num_inference_steps=steps),
+        # deterministic re-init on device: post-opt offload deletes params
+        # instead of fetching a 1.7 GB host mirror over the tunnel
+        rebuild_params=make_unet_params,
     )
 
     work = Path(os.environ.get("BENCH_WORKDIR", "/tmp/tclight_bench"))
@@ -147,7 +155,9 @@ def main() -> int:
                 os.environ.get("BENCH_MERGE", "full") == "full",
             "global_merge_ratio": 0.5,
             "align_batch": True, "max_downsample": 2, "noise_mode": "same",
-            "alpha_t": 0.0, "final_factor_t": 0.01, "win_size_t": 64,
+            # BENCH_ALPHA_T > 0 exercises the yt-plane multi-axis pass
+            "alpha_t": float(os.environ.get("BENCH_ALPHA_T", 0.0)),
+            "final_factor_t": 0.01, "win_size_t": 64,
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
             "negative_prompt": "low quality", "save_frame": False,
             "fuse_loop": bool(os.environ.get("BENCH_FUSE")),

@@ -398,6 +398,8 @@ class Generator:
         """Full sampling loop (generate.py ddim_sample :207-239)."""
         seed = self.seed if seed is None else seed
         # re-device params if a previous post-opt stage offloaded them
+        if self.models.unet_params is None:
+            self.models.unet_params = self.models.rebuild_params()
         leaves = jax.tree.leaves(self.models.unet_params)
         if leaves and isinstance(leaves[0], np.ndarray):
             self.models.unet_params = jax.tree.map(
@@ -604,15 +606,19 @@ class Generator:
                 # drain the device queue before transferring (axon surfaces
                 # async faults/OOMs at the next transfer otherwise)
                 clean_frames = jax.block_until_ready(clean_frames)
-                if self._host_unet_params is None:
+                if (self._host_unet_params is None
+                        and getattr(self.models, "rebuild_params", None)
+                        is None):
                     # one-time leaf-by-leaf host fetch (a whole-pytree
                     # device_put needs a params-sized staging copy in HBM
-                    # and OOMs); kept as the mirror for later prompts
+                    # and OOMs); kept as the mirror for later prompts.
+                    # Skipped when the models carry a rebuild_params
+                    # factory (the d2h fetch is ~150 s over the tunnel).
                     self._host_unet_params = jax.tree.map(
                         lambda a: np.asarray(a), self.models.unet_params
                     )
                 dev_params = self.models.unet_params
-                self.models.unet_params = self._host_unet_params
+                self.models.unet_params = self._host_unet_params  # may be None
                 if jax.tree.leaves(dev_params) and isinstance(
                     jax.tree.leaves(dev_params)[0], jax.Array
                 ):

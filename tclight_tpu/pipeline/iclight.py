@@ -82,6 +82,10 @@ class ICLightModels:
     tokenizer: Any
     scheduler: DPMSolverMultistepScheduler
     model_key: str = "iclight"
+    # optional zero-transfer re-creation of unet_params on device (e.g. a
+    # jitted deterministic init): lets the post-opt offload DELETE device
+    # params instead of fetching a 1.7 GB host mirror over the tunnel
+    rebuild_params: Any = None
 
     @property
     def latent_scale(self) -> float:

@@ -116,3 +116,34 @@ def test_end_to_end_fbc_background(tmp_path):
     out = results["test"]
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_rebuild_params_two_prompts(tmp_path):
+    """With a rebuild_params factory, the post-opt offload deletes device
+    params (no host mirror fetch) and the next prompt re-inits them."""
+    import dataclasses
+
+    vid_dir, frames = make_synthetic_video(tmp_path)
+    cfg = make_config(tmp_path, vid_dir, prompt={"a": "warm light",
+                                                 "b": "cool light"})
+    models = build_tiny_iclight(seed=0, num_inference_steps=2)
+    calls = []
+
+    import jax
+
+    host_params = jax.tree.map(np.asarray, models.unet_params)
+
+    def rebuild():
+        calls.append(1)
+        return jax.tree.map(jnp.asarray, host_params)
+
+    models = dataclasses.replace(models, rebuild_params=rebuild)
+    parser = VideoDataParser(cfg.data)
+    gen = Generator(models, cfg, data_parser=parser)
+    results = gen(None, str(tmp_path / "out"), list(range(4)))
+    assert set(results) == {"a", "b"}
+    # offload after prompt "a" deleted params; prompt "b" rebuilt them
+    assert len(calls) == 1
+    for out in results.values():
+        assert np.isfinite(out).all()
