@@ -205,8 +205,10 @@ class Generator:
 
     # decoded videos above this size round-trip through the host to bound
     # HBM; below it they stay device-resident (the tunnel charges
-    # ~11-25 MB/s d2h + 25-80 MB/s h2d for the round trip)
-    _DECODE_HOST_BYTES = int(1.5e9)
+    # ~11-25 MB/s d2h + 25-80 MB/s h2d for the round trip). UNet params
+    # are offloaded before decode when post-opt runs, so 300x1280x720
+    # (3.3 GB f32) fits device-side.
+    _DECODE_HOST_BYTES = int(4e9)
 
     def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
         _, dec = self._vae_fns()
@@ -591,21 +593,15 @@ class Generator:
             self.stage_times["step_times"] = [
                 round(s, 3) for s in getattr(self, "_last_step_times", [])
             ]
-            log.info("sampling done; decoding latents...")
-            t_s = time.perf_counter()
-            clean_frames = self.decode_latents_batch(clean_latent)
-            self.stage_times["decode"] = time.perf_counter() - t_s
-            log.info("decode done")
-
             losses_exposure = losses_uvt = np.zeros(0)
             if self.apply_opt and past_flows is not None:
-                # offload UNet params to host for the optimization stages:
-                # 16G chips can't hold SD1.5 params + denoise workspace +
-                # the 960x720 optimization backward at once. They transfer
-                # back lazily on the next prompt's sampling.
-                # drain the device queue before transferring (axon surfaces
+                # offload UNet params to host BEFORE decode: 16G chips
+                # can't hold SD1.5 params + the decoded video + the
+                # optimization backward at once, and decode only needs the
+                # VAE. Params transfer back lazily on the next prompt.
+                # Drain the device queue before transferring (axon surfaces
                 # async faults/OOMs at the next transfer otherwise)
-                clean_frames = jax.block_until_ready(clean_frames)
+                clean_latent = jax.block_until_ready(clean_latent)
                 if (self._host_unet_params is None
                         and getattr(self.models, "rebuild_params", None)
                         is None):
@@ -623,6 +619,14 @@ class Generator:
                     jax.tree.leaves(dev_params)[0], jax.Array
                 ):
                     jax.tree.map(lambda a: a.delete(), dev_params)
+
+            log.info("sampling done; decoding latents...")
+            t_s = time.perf_counter()
+            clean_frames = self.decode_latents_batch(clean_latent)
+            self.stage_times["decode"] = time.perf_counter() - t_s
+            log.info("decode done")
+
+            if self.apply_opt and past_flows is not None:
                 clean_frames = jnp.asarray(clean_frames)
                 # static warp-kernel radius for the scatter-free Pallas warp
                 # (flows are fixed during post-opt); CPU keeps the gather AD
