@@ -207,14 +207,15 @@ def get_soft_mask_bwds_chunked(
         m = max(float(np.max(np.abs(flows))), float(np.max(np.abs(past_flows))))
         kw["radius"] = max(4, min(int(np.ceil(m / 4)) * 4, 128))
     if on_tpu:
+        # whole-array device upload is the TPU-tunnel optimization; other
+        # backends keep the original chunk-at-a-time upload so memory
+        # stays bounded by the chunk size
         imgs_d = jnp.asarray(
             np.clip(np.rint(org_images * 255.0), 0, 255).astype(np.uint8))
         flows_d = jnp.asarray(flows.astype(np.float16))
         past_d = jnp.asarray(past_flows.astype(np.float16))
     else:
-        imgs_d = jnp.asarray(org_images)
-        flows_d = jnp.asarray(flows)
-        past_d = jnp.asarray(past_flows)
+        imgs_d, flows_d, past_d = org_images, flows, past_flows
     i = 1
     while i < n:
         j = min(i + chunk, n)
@@ -225,8 +226,10 @@ def get_soft_mask_bwds_chunked(
             sl_prev = np.concatenate([sl_prev, [sl_prev[-1]] * pad])
             sl_cur = np.concatenate([sl_cur, [sl_cur[-1]] * pad])
         m = get_soft_mask_pairs(
-            imgs_d[sl_prev], imgs_d[sl_cur],
-            flows_d[sl_prev], past_d[sl_cur],
+            imgs_d[sl_prev] if on_tpu else jnp.asarray(imgs_d[sl_prev]),
+            imgs_d[sl_cur] if on_tpu else jnp.asarray(imgs_d[sl_cur]),
+            flows_d[sl_prev] if on_tpu else jnp.asarray(flows_d[sl_prev]),
+            past_d[sl_cur] if on_tpu else jnp.asarray(past_d[sl_cur]),
             gmax, **kw,
         )
         out[i:j] = np.asarray(m)[: j - i]

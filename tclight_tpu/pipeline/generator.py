@@ -114,6 +114,13 @@ class Generator:
         self._step_sched_fn = None
         self._fuse_step_fn = None
         self._loop_fn = None
+        self._slot0_fn = None
+        self._group_fn = None
+        self._sched_only_fn = None
+        # single programs running >~1-2 min kernel-fault the axon worker
+        # (watchdog); plans with more slots than this split into bounded
+        # per-dispatch groups (see _run_slots_split)
+        self.max_fused_slots = _cfg_get(gen, "max_fused_slots", 32)
 
     # ------------------------------------------------------------ prompts
 
@@ -203,20 +210,27 @@ class Generator:
         ]
         return jnp.concatenate(outs, axis=0)[:n]
 
-    # decoded videos above this size round-trip through the host to bound
-    # HBM; below it they stay device-resident (the tunnel charges
-    # ~11-25 MB/s d2h + 25-80 MB/s h2d for the round trip). UNet params
-    # are offloaded before decode when post-opt runs, so 300x1280x720
-    # (3.3 GB f32) fits device-side.
-    _DECODE_HOST_BYTES = int(4e9)
+    # decoded videos above this size stream through the host to bound HBM;
+    # below it they stay device-resident (the tunnel charges ~11-25 MB/s
+    # d2h + 25-80 MB/s h2d for a round trip). The higher limit applies
+    # when the UNet params were offloaded before decode (post-opt path):
+    # 300x1280x720 (3.3 GB f32) then fits device-side on 16 GB.
+    _DECODE_HOST_BYTES = int(1.5e9)
+    _DECODE_HOST_BYTES_OFFLOADED = int(4e9)
 
-    def decode_latents_batch(self, latents: jnp.ndarray) -> jnp.ndarray:
+    def decode_latents_batch(
+        self, latents: jnp.ndarray, params_offloaded: bool = False
+    ):
+        """Returns decoded frames: a device array when they fit in HBM,
+        else a host np.ndarray (streamed out batch by batch)."""
         _, dec = self._vae_fns()
         factor = self.vae_factor
         bs = self._vae_batch_for(latents.shape[1] * factor, latents.shape[2] * factor)
         n = len(latents)
         out_bytes = n * latents.shape[1] * latents.shape[2] * factor * factor * 3 * 4
-        to_host = out_bytes > self._DECODE_HOST_BYTES
+        limit = (self._DECODE_HOST_BYTES_OFFLOADED if params_offloaded
+                 else self._DECODE_HOST_BYTES)
+        to_host = out_bytes > limit
         pad = (-n) % bs
         if pad:
             latents = jnp.concatenate([latents, jnp.repeat(latents[-1:], pad, 0)])
@@ -225,10 +239,62 @@ class Generator:
             out = dec(self.models.vae_params, latents[i : i + bs])
             outs.append(np.asarray(out) if to_host else out)
         if to_host:
-            return jnp.asarray(np.concatenate(outs, axis=0)[:n])
+            return np.concatenate(outs, axis=0)[:n]
         return jnp.concatenate(outs, axis=0)[:n]
 
     # ------------------------------------------------------------ denoise
+
+    def _pred_chunk(self, params, x_c, cc_c, embeds, t, randf, flip, banks,
+                    use_global):
+        """CFG batch: [uncond frames | cond frames] (generate.py:296-301)."""
+        unet = self.models.unet
+        g = self.guidance_scale
+        cs = self.chunk_size
+        latent = jnp.concatenate([x_c, x_c], axis=0)
+        cc = jnp.concatenate([cc_c, cc_c], axis=0)
+        inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
+        uncond, cond = embeds  # each (1, S, hidden)
+        ctx = jnp.concatenate(
+            [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
+        ).astype(unet.config.dtype)
+        eps, banks = unet.apply(
+            params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+            use_global=use_global,
+        )
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + g * (eps_c - eps_u), banks
+
+    @staticmethod
+    def _scatter_noise(noises, e, idx, valid):
+        n = noises.shape[0]
+        tgt = jnp.where(valid, idx, n)
+        return noises.at[tgt].set(e, mode="drop")
+
+    def _slot0_core(self, params, x, concat_conds, embeds, t, idx0, val0,
+                    randf0, flip0):
+        """Slot 0 initializes the global token banks."""
+        e0, banks = self._pred_chunk(
+            params, x[idx0], concat_conds[idx0], embeds, t, randf0, flip0,
+            None, False,
+        )
+        return self._scatter_noise(jnp.zeros_like(x), e0, idx0, val0), banks
+
+    def _group_core(self, params, x, noises, banks, concat_conds, embeds, t,
+                    plan_idx, plan_valid, randfs, flips):
+        """Scan a group of bank-carrying chunk slots into the noise buffer."""
+        def body(carry, inp):
+            noises, banks = carry
+            idx, valid, randf, flip = inp
+            e, banks = self._pred_chunk(
+                params, x[idx], concat_conds[idx], embeds, t, randf,
+                flip, banks, True,
+            )
+            return (self._scatter_noise(noises, e, idx, valid), banks), None
+
+        (noises, banks), _ = jax.lax.scan(
+            body, (noises, banks), (plan_idx, plan_valid, randfs, flips)
+        )
+        return noises, banks
 
     def _step_core(self, params, x, concat_conds, embeds, t, plan_idx,
                    plan_valid, randfs, flips):
@@ -236,60 +302,77 @@ class Generator:
         UNet passes with token merging + CFG fused into the noise buffer.
         Params enter as an argument (axon: closed-over arrays become HLO
         constants and blow up the remote-compile upload)."""
-        unet = self.models.unet
-        g = self.guidance_scale
-        cs = self.chunk_size
-
-        def pred_chunk(params, x_c, cc_c, embeds, t, randf, flip, banks, use_global):
-            # CFG batch: [uncond frames | cond frames] (generate.py:296-301)
-            latent = jnp.concatenate([x_c, x_c], axis=0)
-            cc = jnp.concatenate([cc_c, cc_c], axis=0)
-            inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
-            uncond, cond = embeds  # each (1, S, hidden)
-            ctx = jnp.concatenate(
-                [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
-            ).astype(unet.config.dtype)
-            eps, banks = unet.apply(
-                params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
-                use_global=use_global,
-            )
-            eps_u, eps_c = jnp.split(eps, 2, axis=0)
-            return eps_u + g * (eps_c - eps_u), banks
-
-        n = x.shape[0]
-        noises = jnp.zeros_like(x)
-
-        def scatter(noises, e, idx, valid):
-            tgt = jnp.where(valid, idx, n)
-            return noises.at[tgt].set(e, mode="drop")
-
-        # slot 0 initializes the global token banks
-        idx0, val0 = plan_idx[0], plan_valid[0]
-        e0, banks = pred_chunk(
-            params, x[idx0], concat_conds[idx0], embeds, t, randfs[0],
-            flips[0], None, False,
+        noises, banks = self._slot0_core(
+            params, x, concat_conds, embeds, t, plan_idx[0], plan_valid[0],
+            randfs[0], flips[0],
         )
-        noises = scatter(noises, e0, idx0, val0)
-
         if plan_idx.shape[0] > 1:
-            def body(carry, inp):
-                noises, banks = carry
-                idx, valid, randf, flip = inp
-                e, banks = pred_chunk(
-                    params, x[idx], concat_conds[idx], embeds, t, randf,
-                    flip, banks, True,
-                )
-                return (scatter(noises, e, idx, valid), banks), None
-
-            (noises, banks), _ = jax.lax.scan(
-                body, (noises, banks),
-                (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+            noises, banks = self._group_core(
+                params, x, noises, banks, concat_conds, embeds, t,
+                plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:],
             )
         return noises
 
     def _build_step_fn(self):
         jitted = jax.jit(self._step_core)
         return lambda *a: jitted(self.models.unet_params, *a)
+
+    def _run_slots_split(self, x, concat_conds, embeds, t_arr, idx_np,
+                         valid_np, randf_np, flip_np):
+        """Bounded-dispatch slot execution for many-slot plans (long
+        videos / yt passes): the axon worker kernel-faults single
+        programs that run for minutes, so slots are dispatched in groups
+        of `max_fused_slots`, carrying the noise buffer and token banks
+        on device between dispatches. The last group is padded with
+        invalid slots so one compiled group graph covers every step."""
+        gsz = self.max_fused_slots
+        params = self.models.unet_params
+        if self._slot0_fn is None:
+            self._slot0_fn = jax.jit(self._slot0_core)
+            self._group_fn = jax.jit(self._group_core)
+        noises, banks = self._slot0_fn(
+            params, x, concat_conds, embeds, t_arr,
+            jnp.asarray(idx_np[0]), jnp.asarray(valid_np[0]),
+            jnp.asarray(int(randf_np[0]), jnp.int32),
+            jnp.asarray(bool(flip_np[0])),
+        )
+        s = idx_np.shape[0]
+        for g0 in range(1, s, gsz):
+            g1 = min(g0 + gsz, s)
+            pad = gsz - (g1 - g0)
+
+            def pad_np(a, fill=0):
+                sl = np.asarray(a[g0:g1])
+                if pad:
+                    sl = np.concatenate(
+                        [sl, np.full((pad,) + sl.shape[1:], fill, sl.dtype)]
+                    )
+                return jnp.asarray(sl)
+
+            noises, banks = self._group_fn(
+                params, x, noises, banks, concat_conds, embeds, t_arr,
+                pad_np(idx_np), pad_np(valid_np), pad_np(randf_np),
+                pad_np(flip_np),
+            )
+        return noises
+
+    def _run_slots(self, x, concat_conds, embeds, t_arr, plan, randf_np,
+                   flip_np):
+        """Dispatch one denoise pass over a chunk plan: fully fused for
+        normal slot counts, group-split above `max_fused_slots`."""
+        slots = plan.indices.shape[0]
+        if slots <= self.max_fused_slots + 1:
+            if self._step_fn is None:
+                self._step_fn = self._build_step_fn()
+            return self._step_fn(
+                x, concat_conds, embeds, t_arr,
+                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                jnp.asarray(randf_np, jnp.int32), jnp.asarray(flip_np),
+            )
+        return self._run_slots_split(
+            x, concat_conds, embeds, t_arr, plan.indices, plan.valid,
+            np.asarray(randf_np), np.asarray(flip_np),
+        )
 
     def _build_step_sched_fn(self):
         """One fused graph per sampling step: chunked denoise + scheduler
@@ -309,6 +392,16 @@ class Generator:
 
         jitted = jax.jit(fn)
         return lambda *a: jitted(self.models.unet_params, *a)
+
+    def _build_sched_only_fn(self):
+        """Scheduler update alone, for the group-split slot path."""
+        sched = self.scheduler
+
+        def fn(state, noises, x, key):
+            state, x = sched.step(state, noises, x, key)
+            return x, state, jnp.max(jnp.abs(x[0, 0]))
+
+        return jax.jit(fn)
 
     def _build_fuse_step_fn(self):
         """yt-fusion + scheduler update for the multi-axis path."""
@@ -339,7 +432,7 @@ class Generator:
             starts, overlap_list = [0], [0]
         return win, starts, overlap_list
 
-    def _temporal_noises(self, x, concat_conds, embeds_t, t, rng, step_fn):
+    def _temporal_noises(self, x, concat_conds, embeds_t, t, rng, step_fn=None):
         """yt-plane noise prediction (generate.py:241-278): width columns
         become the chunked 'frame' axis; windows slide over time."""
         n, h, w, c = x.shape
@@ -350,16 +443,14 @@ class Generator:
                 w, self.chunk_size, rng, self.chunk_ord, self.tome_spec.merge_global
             )
             slots = plan.indices.shape[0]
-            randfs = jnp.asarray(rng.integers(0, 4, size=slots), jnp.int32)
-            flips = jnp.asarray(rng.random(slots) <= self.global_rand)
+            randfs = rng.integers(0, 4, size=slots)
+            flips = rng.random(slots) <= self.global_rand
             xt = jnp.swapaxes(x[sl : sl + win], 0, 2)        # (W, H, win, C) -> want (W, win, H, C)
             xt = jnp.swapaxes(xt, 1, 2)                       # (W, win, H, C)
             cct = jnp.swapaxes(concat_conds[sl : sl + win], 0, 2)
             cct = jnp.swapaxes(cct, 1, 2)
-            pred = step_fn(
-                xt, cct, embeds_t, t,
-                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
-                randfs, flips,
+            pred = self._run_slots(
+                xt, cct, embeds_t, t, plan, randfs, flips
             )  # (W, win, H, C)
             pred = jnp.swapaxes(pred, 1, 2)
             pred = jnp.swapaxes(pred, 0, 2)                   # (win, H, W, C)
@@ -412,10 +503,6 @@ class Generator:
         timesteps = sched.timesteps()
         t_steps = len(timesteps)
 
-        if self._step_fn is None:
-            self._step_fn = self._build_step_fn()
-        step_fn = self._step_fn
-
         plan_rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
 
@@ -461,30 +548,38 @@ class Generator:
                 self.tome_spec.merge_global,
             )
             slots = plan.indices.shape[0]
-            randfs = jnp.asarray(plan_rng.integers(0, 4, size=slots), jnp.int32)
-            flips = jnp.asarray(plan_rng.random(slots) <= self.global_rand)
+            randfs_np = plan_rng.integers(0, 4, size=slots)
+            flips_np = plan_rng.random(slots) <= self.global_rand
             t_arr = jnp.asarray(t, jnp.float32)
             key, sub = jax.random.split(key)
+            split = slots > self.max_fused_slots + 1
 
             if self.alpha_t > 0:
-                noises = step_fn(
-                    x, concat_conds, embeds, t_arr,
-                    jnp.asarray(plan.indices), jnp.asarray(plan.valid),
-                    randfs, flips,
+                noises = self._run_slots(
+                    x, concat_conds, embeds, t_arr, plan, randfs_np, flips_np
                 )
                 factor = self.final_factor_t ** min(i / t_steps, 1.0)
                 alpha = self.alpha_t * factor
                 noises_t = self._temporal_noises(
-                    x, concat_conds, embeds_t, t_arr, plan_rng, step_fn
+                    x, concat_conds, embeds_t, t_arr, plan_rng
                 )
                 x, state, sync = self._fuse_step_fn(
                     noises, noises_t, jnp.float32(alpha), state, x, sub
                 )
+            elif split:
+                noises = self._run_slots_split(
+                    x, concat_conds, embeds, t_arr, plan.indices, plan.valid,
+                    randfs_np, flips_np,
+                )
+                if self._sched_only_fn is None:
+                    self._sched_only_fn = self._build_sched_only_fn()
+                x, state, sync = self._sched_only_fn(state, noises, x, sub)
             else:
                 x, state, sync = self._step_sched_fn(
                     x, state, concat_conds, embeds, t_arr,
                     jnp.asarray(plan.indices), jnp.asarray(plan.valid),
-                    randfs, flips, sub,
+                    jnp.asarray(randfs_np, jnp.int32), jnp.asarray(flips_np),
+                    sub,
                 )
             # periodic sync: deep async queues degrade axon execution
             # pathologically (>40 min for 25 queued steps). NB
@@ -622,7 +717,10 @@ class Generator:
 
             log.info("sampling done; decoding latents...")
             t_s = time.perf_counter()
-            clean_frames = self.decode_latents_batch(clean_latent)
+            clean_frames = self.decode_latents_batch(
+                clean_latent,
+                params_offloaded=self.apply_opt and past_flows is not None,
+            )
             self.stage_times["decode"] = time.perf_counter() - t_s
             log.info("decode done")
 
@@ -633,11 +731,11 @@ class Generator:
                 on_tpu = jax.default_backend() == "tpu"
                 radius = flow_radius(np.asarray(past_flows)) if on_tpu else None
                 if on_tpu:
-                    # compact f16 uploads over the slow tunnel, f32 on device
-                    flows_dev = jnp.asarray(
-                        np.asarray(past_flows, np.float16)).astype(jnp.float32)
-                    masks_dev = jnp.asarray(
-                        np.asarray(mask_bwds, np.float16)).astype(jnp.float32)
+                    # compact f16 uploads over the slow tunnel; kept f16 on
+                    # device (saves ~1.9 GB at 300x1280x720) — the post-opt
+                    # losses promote per-batch slices to f32
+                    flows_dev = jnp.asarray(np.asarray(past_flows, np.float16))
+                    masks_dev = jnp.asarray(np.asarray(mask_bwds, np.float16))
                 else:
                     flows_dev = jnp.asarray(past_flows)
                     masks_dev = jnp.asarray(mask_bwds)
@@ -649,6 +747,10 @@ class Generator:
                 )
                 self.stage_times["exposure"] = time.perf_counter() - t_s
                 self.stage_times["exposure_epochs"] = exp_times.tolist()
+                # materialize the aligned frames before UVT: a UVT OOM
+                # poisons any still-queued async ops, which would lose the
+                # exposure result too
+                clean_frames = jax.block_until_ready(clean_frames)
                 log.info("UVT optimization (%d epochs)...", self.post_cfg.epochs)
                 t_s = time.perf_counter()
                 try:
@@ -659,20 +761,38 @@ class Generator:
                     )
                     self.stage_times["uvt_epochs"] = uvt_times.tolist()
                 except Exception as e:  # noqa: BLE001
-                    # UVT is a refinement stage; a toolchain failure (e.g.
-                    # remote-compiler crash on the 770k-track palette graph)
-                    # must not lose the exposure-aligned result
+                    # UVT is a refinement stage; a toolchain failure (OOM at
+                    # the 300x1280x720 palette scale, remote-compiler crash)
+                    # must not lose the exposure-aligned result. After an
+                    # OOM the device is too full for further work, so fetch
+                    # the frames to host immediately (d2h allocates no HBM)
+                    # and let the save path run host-side.
                     log.warning("UVT optimization failed (%s); keeping "
                                 "exposure-aligned frames", e)
                     self.stage_times["uvt_failed"] = True
+                    if isinstance(clean_frames, jax.Array):
+                        try:
+                            clean_frames = np.asarray(clean_frames)
+                        except Exception:  # noqa: BLE001
+                            log.warning("could not fetch exposure-aligned "
+                                        "frames after the UVT failure")
+                            raise
 
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
-            if isinstance(clean_frames, jax.Array):
-                # quantize to uint8 on device: 4x less d2h over the tunnel,
-                # and the mp4 output is 8-bit anyway
-                clean_u8 = np.asarray(jnp.clip(
-                    clean_frames * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+            if (isinstance(clean_frames, jax.Array)
+                    and jax.default_backend() == "tpu"):
+                # quantize to uint8 on device: 4x less d2h over the slow
+                # tunnel, and the mp4 output is 8-bit anyway. Chunked so
+                # the temp never doubles a multi-GB video (and survives a
+                # post-OOM fragmented HBM). Local backends keep exact f32.
+                qbs = 16
+                q = jax.jit(lambda f: jnp.clip(
+                    f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+                clean_u8 = np.concatenate([
+                    np.asarray(q(clean_frames[i : i + qbs]))
+                    for i in range(0, clean_frames.shape[0], qbs)
+                ])
                 clean_frames = clean_u8.astype(np.float32) / 255.0
             else:
                 clean_frames = np.asarray(clean_frames)

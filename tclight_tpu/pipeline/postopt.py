@@ -150,8 +150,11 @@ def run_exposure_align(
             + _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
         )
 
-        warped = _warp(pre_images, past_flows[idxs], warp_radius)
-        m = masks_bwd[idxs]
+        # flows/masks may be stored f16 on device (tunnel-compact);
+        # promote the batch slice for the loss math
+        warped = _warp(pre_images,
+                       past_flows[idxs].astype(jnp.float32), warp_radius)
+        m = masks_bwd[idxs].astype(jnp.float32)
         valid = bmask & (idxs > 0)
         flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
         loss_flow = _masked_mean(flow_per, valid)
@@ -249,11 +252,12 @@ def _palette_gather(features, inv_ids, inv_map, ovf_pos, ovf_ids):
 
 
 def _palette_gather_fwd(features, inv_ids, inv_map, ovf_pos, ovf_ids):
-    return features[inv_ids], (inv_map, ovf_pos, ovf_ids, features.shape[0])
+    return features[inv_ids], (inv_map, ovf_pos, ovf_ids, features.shape[0],
+                               inv_ids.shape)
 
 
 def _palette_gather_bwd(res, g):
-    inv_map, ovf_pos, ovf_ids, p_pad = res
+    inv_map, ovf_pos, ovf_ids, p_pad, inv_ids_shape = res
     b, hw, c = g.shape
     gpad = jnp.concatenate([g, jnp.zeros((b, 1, c), g.dtype)], axis=1)
     per_frame = jnp.take_along_axis(gpad, inv_map[..., None], axis=1)
@@ -263,7 +267,8 @@ def _palette_gather_bwd(res, g):
         adj = adj + jax.ops.segment_sum(
             vals.reshape(-1, c), ovf_ids.reshape(-1),
             num_segments=p_pad + 1)[:p_pad]
-    return (adj, _int_zero_cotangent(inv_map), _int_zero_cotangent(inv_map),
+    return (adj, np.zeros(inv_ids_shape, dtype=jax.dtypes.float0),
+            _int_zero_cotangent(inv_map),
             _int_zero_cotangent(ovf_pos), _int_zero_cotangent(ovf_ids))
 
 
@@ -355,7 +360,6 @@ def run_uvt(
     # dense (N, P) map would not fit, fall back to the sorted CSR adjoint
     inv_np = np.asarray(unq_inv, np.int32).reshape(n, h * w)
     dense_map = n * p_pad * 4 <= _DENSE_MAP_MAX_BYTES
-    unq_inv = jnp.asarray(inv_np.reshape(-1))
     unq_inv_frames = jnp.asarray(inv_np)
     if dense_map:
         inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(inv_np, p_pad)
@@ -365,22 +369,53 @@ def run_uvt(
         perm_np = np.argsort(inv_np, axis=1, kind="stable").astype(np.int32)
         ids_sorted_np = np.take_along_axis(inv_np, perm_np, axis=1)
         tables_rest = (jnp.asarray(perm_np), jnp.asarray(ids_sorted_np))
+    tables = (unq_inv_frames,) + tables_rest
 
-    features = init_palette(frames, unq_inv, n_unique, pad_to=p_pad)
-    feature_lr = cfg.feature_lr * cfg.batch_size / n
-    tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
-
-    def render_fast(features, tables, idx):
+    def gather_raw(features, tables, idx):
         inv_f = tables[0]
         if dense_map:
             _, map_f, op_f, oi_f = tables
-            rgb = _palette_gather(features, inv_f[idx], map_f[idx],
-                                  op_f[idx], oi_f[idx])
-        else:
-            _, perm_f, ids_f = tables
-            rgb = _palette_gather_sorted(features, inv_f[idx], perm_f[idx],
-                                         ids_f[idx])
+            return _palette_gather(features, inv_f[idx], map_f[idx],
+                                   op_f[idx], oi_f[idx])
+        _, perm_f, ids_f = tables
+        return _palette_gather_sorted(features, inv_f[idx], perm_f[idx],
+                                      ids_f[idx])
+
+    def render_fast(features, tables, idx):
+        rgb = gather_raw(features, tables, idx)
         return jnp.clip(SH2RGB(rgb), 0.0, 1.0).reshape(len(idx), h, w, 3)
+
+    # memory-bounded scatter-mean init (generate.py:477-481): the naive
+    # whole-video segment_sum materializes N*H*W-row intermediates and
+    # OOMs at 300x1280x720 on 16 GB. The per-track sums are exactly the
+    # palette-gather adjoint applied to the frame values, frame-chunked;
+    # counts come from a host bincount.
+    frames = jnp.asarray(frames)
+    counts = jnp.asarray(np.maximum(
+        np.bincount(inv_np.reshape(-1), minlength=p_pad), 1.0
+    ).astype(np.float32))
+    feats0 = jnp.zeros((p_pad, 3), jnp.float32)
+    init_bs = min(16, n)
+    sums = jnp.zeros((p_pad, 3), jnp.float32)
+
+    @jax.jit
+    def chunk_sums(frames, tables, idx, cot_mask):
+        _, vjp = jax.vjp(lambda f: gather_raw(f, tables, idx), feats0)
+        cot = frames[idx].reshape(len(idx), h * w, 3) * cot_mask[:, None, None]
+        return vjp(cot)[0]
+
+    for c0 in range(0, n, init_bs):
+        sel = np.arange(c0, min(c0 + init_bs, n))
+        pad = init_bs - len(sel)
+        idx = jnp.asarray(np.concatenate([sel, np.zeros(pad, np.int64)])
+                          .astype(np.int32))
+        cot_mask = jnp.asarray(
+            np.concatenate([np.ones(len(sel)), np.zeros(pad)])
+            .astype(np.float32))
+        sums = sums + chunk_sums(frames, tables, idx, cot_mask)
+    features = RGB2SH(sums / counts[:, None])
+    feature_lr = cfg.feature_lr * cfg.batch_size / n
+    tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
 
     def loss_fn(features, frames, past_flows, masks_bwd, tables,
                 idxs, bmask):
@@ -389,8 +424,11 @@ def run_uvt(
         pre_images = render_fast(features, tables, pre_idx)
 
         edited = frames[idxs]
-        warped = _warp(pre_images, past_flows[idxs], warp_radius)
-        m = masks_bwd[idxs]
+        # flows/masks may be stored f16 on device (tunnel-compact);
+        # promote the batch slice for the loss math
+        warped = _warp(pre_images,
+                       past_flows[idxs].astype(jnp.float32), warp_radius)
+        m = masks_bwd[idxs].astype(jnp.float32)
         valid = bmask & (idxs > 0)
         flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
         loss_flow = _masked_mean(flow_per, valid)
@@ -423,21 +461,24 @@ def run_uvt(
 
     rng = np.random.default_rng(seed)
     opt_state = tx.init(features)
-    frames_j = jnp.asarray(frames)
     past_flows_j = jnp.asarray(past_flows)
     masks_j = jnp.asarray(masks_bwd)
-    tables = (unq_inv_frames,) + tables_rest
     history = []
     epoch_times: list[float] = []
     for _ in range(cfg.epochs):
         t0 = time.perf_counter()
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         features, opt_state, losses = run_epoch(
-            features, opt_state, frames_j, past_flows_j, masks_j,
+            features, opt_state, frames, past_flows_j, masks_j,
             tables, jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
         history.append(np.asarray(losses))  # host sync per epoch
         epoch_times.append(time.perf_counter() - t0)
-    rendered = render_palette(features, unq_inv, (n, h, w, 3))
+    # final render (generate.py:529-532), frame-chunked to bound memory
+    outs = []
+    for c0 in range(0, n, init_bs):
+        idx = jnp.asarray(np.arange(c0, min(c0 + init_bs, n)).astype(np.int32))
+        outs.append(render_fast(features, tables, idx))
+    rendered = jnp.concatenate(outs, axis=0)
     hist = np.concatenate(history) if history else np.zeros(0)
     return rendered, hist, np.asarray(epoch_times)

@@ -20,11 +20,13 @@ _warmed = False
 _lock = threading.Lock()
 
 
-def warm_transfer_path(block: bool = False) -> None:
+def warm_transfer_path(block: bool = True) -> None:
     """Idempotently trigger the first host->device transfer.
 
-    block=False (default) runs it on a daemon thread so setup work
-    proceeds while the transfer path initializes."""
+    block=True (default, the safe mode): the caller eats the stall up
+    front, before any jit compiles exist to block behind it. block=False
+    runs on a daemon thread — measured HARMFUL when compiles follow (see
+    module docstring); only use it in transfer-only processes."""
     global _warmed
     with _lock:
         if _warmed:
@@ -50,6 +52,9 @@ def warm_transfer_path(block: bool = False) -> None:
             get_logger().info(
                 "transfer path warm (%.1fs)", time.perf_counter() - t0)
         except Exception as e:  # noqa: BLE001 — warmup must never break startup
+            global _warmed
+            with _lock:
+                _warmed = False  # allow a retry after transient failures
             try:
                 from tclight_tpu.utils.logging import get_logger
 

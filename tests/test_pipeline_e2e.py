@@ -147,3 +147,22 @@ def test_rebuild_params_two_prompts(tmp_path):
     assert len(calls) == 1
     for out in results.values():
         assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_split_slot_dispatch_matches_fused(tmp_path):
+    """max_fused_slots below the plan size routes sampling through the
+    bounded group-dispatch path (long-video mode); the relight must still
+    complete and produce the same-shaped, finite output."""
+    vid_dir, frames = make_synthetic_video(tmp_path)
+    cfg = make_config(tmp_path, vid_dir, max_fused_slots=1)
+    models = build_tiny_iclight(seed=0, num_inference_steps=2)
+    parser = VideoDataParser(cfg.data)
+    gen = Generator(models, cfg, data_parser=parser)
+    gen.apply_opt = False
+    assert gen.max_fused_slots == 1
+    results = gen(None, str(tmp_path / "out"), list(range(6)))
+    out = results["test"]
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1).all()
