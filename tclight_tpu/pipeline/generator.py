@@ -786,14 +786,21 @@ class Generator:
                 # tunnel, and the mp4 output is 8-bit anyway. Chunked so
                 # the temp never doubles a multi-GB video (and survives a
                 # post-OOM fragmented HBM). Local backends keep exact f32.
-                qbs = 16
-                q = jax.jit(lambda f: jnp.clip(
-                    f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
-                clean_u8 = np.concatenate([
-                    np.asarray(q(clean_frames[i : i + qbs]))
-                    for i in range(0, clean_frames.shape[0], qbs)
-                ])
-                clean_frames = clean_u8.astype(np.float32) / 255.0
+                try:
+                    qbs = 16
+                    q = jax.jit(lambda f: jnp.clip(
+                        f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+                    clean_u8 = np.concatenate([
+                        np.asarray(q(clean_frames[i : i + qbs]))
+                        for i in range(0, clean_frames.shape[0], qbs)
+                    ])
+                    clean_frames = clean_u8.astype(np.float32) / 255.0
+                except Exception:  # noqa: BLE001
+                    # a full device (e.g. right after a multi-GB UVT
+                    # render) can refuse even the small slice; a direct
+                    # d2h of the existing buffer allocates nothing
+                    log.warning("uint8 output path failed; fetching f32")
+                    clean_frames = np.asarray(clean_frames)
             else:
                 clean_frames = np.asarray(clean_frames)
             cost = tracker.finish(n, h, w)
