@@ -238,6 +238,14 @@ def fallback_step_metric(models, gen, n, h, w, steps) -> int:
     x = jax.random.normal(key, (n, lh, lw, 4))
     cc = jax.random.normal(key, (n, lh, lw, 4)) if         models.unet.config.in_channels > 4 else jnp.zeros((n, lh, lw, 0))
     cond, uncond = gen.encode_prompt_pair("bench prompt", "bad")
+    # the post-opt offload may have deleted/host-mirrored the UNet params
+    # before the e2e failure; restore them for the direct step measurement
+    if models.unet_params is None and getattr(models, "rebuild_params", None):
+        models.unet_params = models.rebuild_params()
+    elif models.unet_params is not None and isinstance(
+        jax.tree.leaves(models.unet_params)[0], np.ndarray
+    ):
+        models.unet_params = jax.tree.map(jnp.asarray, models.unet_params)
     if gen._step_fn is None:
         gen._step_fn = gen._build_step_fn()
     rng = np.random.default_rng(0)
