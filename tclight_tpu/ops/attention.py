@@ -207,7 +207,9 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend is None:
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from tclight_tpu.utils.device import use_pallas
+
+        backend = "pallas" if use_pallas() else "xla"
     if backend == "pallas":
         return _flash_attention_pallas(q, k, v, scale)
     if backend == "xla":

@@ -53,7 +53,9 @@ def warp_flow(
     if radius is not None:
         from tclight_tpu.ops.warp_kernel import warp_flow_window
 
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from tclight_tpu.utils.device import use_pallas
+
+        backend = "pallas" if use_pallas() else "xla"
         return warp_flow_window(frames, flows, int(radius), mode, backend)
     n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
     grid = identity_grid(h, w, dtype=flows.dtype)
@@ -202,10 +204,17 @@ def get_soft_mask_bwds_chunked(
     n = org_images.shape[0]
     out = np.ones(org_images.shape[:3], np.float32)
     gmax = jnp.asarray(float(org_images.max()))
-    on_tpu = jax.default_backend() == "tpu"
+    from tclight_tpu.utils.device import compute_platform
+
+    on_tpu = compute_platform() == "tpu"
     if "radius" not in kw and on_tpu and n > 1:
+        # the window warp requires radius >= max|flow| (taps beyond the
+        # window are dropped); above the 128 px compile-cost cap we keep
+        # the exact gather warp instead of silently truncating
         m = max(float(np.max(np.abs(flows))), float(np.max(np.abs(past_flows))))
-        kw["radius"] = max(4, min(int(np.ceil(m / 4)) * 4, 128))
+        r = max(4, int(np.ceil(m / 4)) * 4)
+        if r <= 128:
+            kw["radius"] = r
     if on_tpu:
         # whole-array device upload is the TPU-tunnel optimization; other
         # backends keep the original chunk-at-a-time upload so memory

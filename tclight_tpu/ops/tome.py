@@ -178,8 +178,12 @@ def _greedy_match_chunked(
     counts (23760^2 x 8 x f32): XLA lowers it as a rematerializing loop
     fusion off the MXU (~500 ms per block on v5e). Scanning dst chunks
     keeps each (S, chunk) dot a real MXU matmul with O(S*chunk) memory —
-    identical argmax semantics (first max wins in (b, d) scan order, the
-    same order as the reference's `(b d)` rearrange)."""
+    near-identical argmax semantics: node_max (hence src/unm selection)
+    matches the dense path exactly; dst_idx ties are resolved in
+    chunk-major/batch-minor order (the fold iterates dst chunks outermost),
+    whereas the dense `(b d)` rearrange resolves exact-score ties
+    batch-major — only tie-broken dst_idx can differ, which occurs with
+    probability ~0 for continuous activations."""
     b_n, _, c = mn.shape
     a = mn[:, a_idx]  # (B, S, C)
     bt = mn[:, b_idx]  # (B, D, C)

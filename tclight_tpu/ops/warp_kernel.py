@@ -29,9 +29,10 @@ adjoint.  Two implementations:
 
 ``warp_flow_window`` wraps the forward in ``jax.custom_vjp`` whose
 image-gradient is the adjoint window-sum (exact: warping is linear in the
-image).  Flow gradients are not propagated (flows are fixed inputs in
-every TC-Light optimization loss); attempting to differentiate w.r.t.
-flows raises at trace time via ``zero_flow_grad=False``.
+image).  Flow cotangents are silently ZERO (flows are fixed inputs in
+every TC-Light optimization loss) — a loss that optimizes flows must use
+the gather warp (``ops.flow.warp_flow`` with ``radius=None``), whose AD
+is exact in both arguments.
 """
 
 from __future__ import annotations

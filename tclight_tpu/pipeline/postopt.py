@@ -37,12 +37,23 @@ from tclight_tpu.ops.warp_kernel import warp_flow_window
 __all__ = ["PostOptConfig", "run_exposure_align", "run_uvt", "flow_radius"]
 
 
-def flow_radius(flows, bucket: int = 4, cap: int = 128) -> int:
+def flow_radius(flows, bucket: int = 4, cap: int = 128) -> int | None:
     """Static warp-kernel radius for a (host) flow array: ceil(max |flow|),
-    rounded up to `bucket` (limits recompiles across prompts/videos)."""
+    rounded up to `bucket` (limits recompiles across prompts/videos).
+
+    Returns None when max |flow| exceeds `cap`: the window warp drops taps
+    beyond its radius, so rather than silently truncating large motion the
+    callers fall back to the exact gather warp (radius=None)."""
     m = float(np.max(np.abs(flows))) if np.size(flows) else 0.0
-    r = int(np.ceil(m / bucket)) * bucket
-    return max(bucket, min(r, cap))
+    r = max(bucket, int(np.ceil(m / bucket)) * bucket)
+    if r > cap:
+        from tclight_tpu.utils.logging import get_logger
+
+        get_logger().info(
+            "max |flow| %.1f px exceeds the %d px window-warp cap; "
+            "using the exact gather warp", m, cap)
+        return None
+    return r
 
 
 def _warp(frames, flows, radius: int | None):
@@ -51,7 +62,9 @@ def _warp(frames, flows, radius: int | None):
     fine on CPU) otherwise."""
     if radius is None:
         return warp_flow(frames, flows)
-    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    from tclight_tpu.utils.device import use_pallas
+
+    backend = "pallas" if use_pallas() else "xla"
     return warp_flow_window(frames, flows, radius, "bicubic", backend)
 
 
@@ -119,7 +132,7 @@ def run_exposure_align(
     cfg: PostOptConfig,
     seed: int = 0,
     warp_radius: int | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray, np.ndarray]:
     """Optimize per-frame affine exposure, bake it in. Returns (aligned
     frames, exposure (N,3,4), loss history, per-epoch wall seconds)."""
     n = frames.shape[0]
@@ -345,7 +358,7 @@ def run_uvt(
     cfg: PostOptConfig,
     seed: int = 0,
     warp_radius: int | None = None,
-) -> tuple[jnp.ndarray, np.ndarray]:
+) -> tuple[jnp.ndarray, np.ndarray, np.ndarray]:
     """Unique-Video-Tensor optimization. Returns (rendered frames, loss
     history, per-epoch wall seconds)."""
     if cfg.epochs <= 0:

@@ -15,9 +15,38 @@ processes that can afford a blocking warmup before any compilation."""
 from __future__ import annotations
 
 import threading
+from typing import Optional
 
 _warmed = False
 _lock = threading.Lock()
+
+_compute_platform_override: Optional[str] = None
+
+
+def set_compute_platform(platform: Optional[str]) -> None:
+    """Override the platform the compute-path gates (Pallas vs XLA
+    lowering, tunnel-transfer strategies) assume they are running on.
+
+    Needed when the process default backend differs from the devices a
+    mesh actually targets — e.g. the driver's multichip dryrun runs a
+    virtual-CPU mesh inside a process whose default backend is the
+    tunneled TPU. `None` restores autodetection."""
+    global _compute_platform_override
+    _compute_platform_override = platform
+
+
+def compute_platform() -> str:
+    """Platform name the hot path should compile for ('tpu'/'cpu'/...)."""
+    if _compute_platform_override is not None:
+        return _compute_platform_override
+    import jax
+
+    return jax.default_backend()
+
+
+def use_pallas() -> bool:
+    """Whether to lower hot ops through the Pallas TPU kernels."""
+    return compute_platform() == "tpu"
 
 
 def warm_transfer_path(block: bool = True) -> None:
