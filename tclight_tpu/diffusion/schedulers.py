@@ -131,6 +131,44 @@ class DDIMScheduler:
 # ----------------------------------------------------- DPM-Solver++ multistep
 
 
+@dataclasses.dataclass(frozen=True)
+class DDIMStateScheduler:
+    """DDIM (eta=0) behind the same (init_state, step) protocol as the
+    DPM-Solver scheduler, so the Generator's fused step graphs work with
+    either. Used by the non-IC-Light SD editing path, whose sampling math
+    is the reference's manual DDIM update (generate_utils.py:283-313)."""
+
+    schedule: NoiseSchedule = NoiseSchedule()
+    num_inference_steps: int = 50
+
+    def timesteps(self) -> np.ndarray:
+        return DDIMScheduler(
+            self.schedule, self.num_inference_steps
+        ).timesteps().astype(np.float32)
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    def init_state(self, sample: jnp.ndarray) -> jnp.ndarray:
+        return jnp.asarray(0, jnp.int32)
+
+    def step(
+        self,
+        state: jnp.ndarray,
+        eps: jnp.ndarray,
+        sample: jnp.ndarray,
+        key: jax.Array | None = None,   # unused: deterministic (eta=0)
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        inner = DDIMScheduler(self.schedule, self.num_inference_steps)
+        return state + 1, inner.step(eps, state, sample)
+
+    def add_noise(self, x0, noise, t):
+        return DDIMScheduler(self.schedule, self.num_inference_steps).add_noise(
+            x0, noise, t
+        )
+
+
 class DPMState(NamedTuple):
     """Multistep solver carry: previous x0 prediction + step index."""
 

@@ -332,15 +332,22 @@ class UNet2DCondition(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(ch[lvl], dtype=cfg.dtype, groups=cfg.norm_groups,
                                   name=f"up_{lvl}_res_{blk}")(h, temb)
-                if pnp_conv and lvl == n_levels - 2 and blk == 0:
+                # PnP feature injection site: up_blocks[1].resnets[1]
+                # (pnp_utils.py:161-162) == second up resnet of the
+                # second-coarsest level
+                if pnp_conv and lvl == n_levels - 2 and blk == 1:
                     third = h.shape[0] // 3
                     h = jnp.tile(h[:third], (3, 1, 1, 1))
                 if has_attn[lvl]:
                     key = f"up_{lvl}_attn_{blk}"
                     active = self._merge_active(h.shape[1], h.shape[2], h0, w0)
+                    # PnP QK injection: decoder attn blocks 4-11
+                    # (pnp_utils.py:101-106) — every up self-attn except
+                    # up_blocks[1].attentions[0]
+                    inject = pnp_attn and not (lvl == n_levels - 2 and blk == 0)
                     h, nb = make_attn(lvl, key)(
                         h, context, active, randf, flip, banks.get(key),
-                        use_global, pnp_attn,
+                        use_global, inject,
                     )
                     if nb is not None:
                         new_banks[key] = nb

@@ -32,6 +32,7 @@ from tclight_tpu.models.unet import ToMeSpec
 from tclight_tpu.ops.color import adaptive_instance_normalization
 from tclight_tpu.pipeline import chunks as chunklib
 from tclight_tpu.pipeline.iclight import ICLightModels
+from tclight_tpu.utils.device import compute_platform
 from tclight_tpu.pipeline.postopt import (
     PostOptConfig, flow_radius, run_exposure_align, run_uvt)
 from tclight_tpu.utils.logging import CostTracker, get_logger
@@ -67,12 +68,21 @@ class Generator:
         self.prompts = dict(_cfg_get(gen, "prompt", {"default": None}))
         self.seed = int(config.get("seed", 12345))
 
+        # PnP editing mode (generate_utils.py:59-68): drives the UNet's
+        # first-class pnp_attn/pnp_conv injection from per-step schedules
+        self.control = str(_cfg_get(gen, "control", "none") or "none")
+        self.use_pnp = self.control == "pnp"
+        self.pnp_attn_t = float(_cfg_get(gen, "pnp_attn_t", 0.5))
+        self.pnp_f_t = float(_cfg_get(gen, "pnp_f_t", 0.8))
+
         self.tome_spec = ToMeSpec(
             n_frames=self.chunk_size,
             local_ratio=_cfg_get(gen, "local_merge_ratio", 0.6),
             merge_global=_cfg_get(gen, "merge_global", True),
             global_ratio=_cfg_get(gen, "global_merge_ratio", 0.5),
-            align_batch=_cfg_get(gen, "align_batch", True),
+            # reference forces batch-aligned merging under PnP so the
+            # [src|uncond|cond] batch merges identically (generate_utils.py:100)
+            align_batch=bool(_cfg_get(gen, "align_batch", True)) or self.use_pnp,
             max_downsample=_cfg_get(gen, "max_downsample", 2),
         )
         self.global_rand = _cfg_get(gen, "global_rand", 0.5)
@@ -110,6 +120,9 @@ class Generator:
             if leaves and isinstance(leaves[0], np.ndarray) else None
         )
         self._step_fn = None
+        self._pnp_step_fns = {}
+        self._pnp_latents_dir = None
+        self._frame_ids = None
         self._step_fn_yt = None
         self._step_sched_fn = None
         self._fuse_step_fn = None
@@ -198,7 +211,7 @@ class Generator:
         n = len(frames)
         pad = (-n) % bs
         frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)]) if pad else frames
-        if jax.default_backend() == "tpu" and isinstance(frames, np.ndarray):
+        if compute_platform() == "tpu" and isinstance(frames, np.ndarray):
             frames_d = jnp.asarray(
                 np.clip(np.rint(frames * 255.0), 0, 255).astype(np.uint8))
             batch = lambda i: frames_d[i : i + bs].astype(jnp.float32) / 255.0
@@ -263,6 +276,114 @@ class Generator:
         )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + g * (eps_c - eps_u), banks
+
+    def _pred_chunk_pnp(self, params, x_c, src_c, cc_c, embeds3, t, randf,
+                        flip, banks, use_global, pnp_attn, pnp_conv):
+        """PnP batch: [source | uncond | cond] (generate_utils.py:249-257)
+        with Q/K + conv-feature injection inside the UNet when the
+        per-step schedule is active."""
+        unet = self.models.unet
+        g = self.guidance_scale
+        cs = self.chunk_size
+        latent = jnp.concatenate([src_c, x_c, x_c], axis=0)
+        cc = jnp.concatenate([cc_c, cc_c, cc_c], axis=0)
+        inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
+        src_e, uncond, cond = embeds3  # each (1, S, hidden)
+        ctx = jnp.concatenate(
+            [jnp.repeat(src_e, cs, axis=0), jnp.repeat(uncond, cs, axis=0),
+             jnp.repeat(cond, cs, axis=0)], axis=0
+        ).astype(unet.config.dtype)
+        eps, banks = unet.apply(
+            params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+            use_global=use_global, pnp_attn=pnp_attn, pnp_conv=pnp_conv,
+        )
+        _, eps_u, eps_c = jnp.split(eps, 3, axis=0)
+        return eps_u + g * (eps_c - eps_u), banks
+
+    def _step_core_pnp(self, params, x, src, concat_conds, embeds3, t,
+                       plan_idx, plan_valid, randfs, flips, pnp_attn,
+                       pnp_conv):
+        """xy denoise step with per-chunk source latents threaded through
+        the same chunk plan as the edited latents."""
+        def run(noises, banks, use_global, idx, valid, randf, flip):
+            e, banks = self._pred_chunk_pnp(
+                params, x[idx], src[idx], concat_conds[idx], embeds3, t,
+                randf, flip, banks, use_global, pnp_attn, pnp_conv,
+            )
+            return self._scatter_noise(noises, e, idx, valid), banks
+
+        noises, banks = run(jnp.zeros_like(x), None, False, plan_idx[0],
+                            plan_valid[0], randfs[0], flips[0])
+        if plan_idx.shape[0] > 1:
+            def body(carry, inp):
+                noises, banks = carry
+                idx, valid, randf, flip = inp
+                noises, banks = run(noises, banks, True, idx, valid, randf, flip)
+                return (noises, banks), None
+
+            (noises, banks), _ = jax.lax.scan(
+                body, (noises, banks),
+                (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+            )
+        return noises
+
+    def _pnp_step_fn(self, pnp_attn: bool, pnp_conv: bool):
+        """Fused denoise+scheduler step, one compiled graph per injection
+        combo (at most 3 along the nested schedules)."""
+        key = (bool(pnp_attn), bool(pnp_conv))
+        if key not in self._pnp_step_fns:
+            sched = self.scheduler
+
+            def fn(params, x, src, state, concat_conds, embeds3, t,
+                   plan_idx, plan_valid, randfs, flips, rkey):
+                noises = self._step_core_pnp(
+                    params, x, src, concat_conds, embeds3, t, plan_idx,
+                    plan_valid, randfs, flips, *key,
+                )
+                state, x = sched.step(state, noises, x, rkey)
+                return x, state, jnp.max(jnp.abs(x[0, 0]))
+
+            self._pnp_step_fns[key] = jax.jit(fn)
+        return self._pnp_step_fns[key]
+
+    def _ddim_sample_pnp(self, x, embeds3, concat_conds, plan_rng, key):
+        """Sampling loop for PnP editing: per-timestep source latents are
+        loaded from the inversion cache (pre_iter, generate_utils.py:228-233)
+        and injected via the [src|uncond|cond] batch."""
+        from tclight_tpu.pipeline.invert import load_latent
+
+        n = x.shape[0]
+        sched = self.scheduler
+        timesteps = sched.timesteps()
+        t_steps = len(timesteps)
+        n_attn = int(t_steps * self.pnp_attn_t)
+        n_conv = int(t_steps * self.pnp_f_t)
+        state = sched.init_state(x)
+        self._last_step_times = []
+        for i, t in enumerate(timesteps):
+            t_step0 = time.perf_counter()
+            src = jnp.asarray(load_latent(
+                self._pnp_latents_dir, float(t), self._frame_ids))
+            plan = chunklib.make_chunk_plan(
+                n, self.chunk_size, plan_rng, self.chunk_ord,
+                self.tome_spec.merge_global,
+            )
+            slots = plan.indices.shape[0]
+            randfs_np = plan_rng.integers(0, 4, size=slots)
+            flips_np = plan_rng.random(slots) <= self.global_rand
+            key, sub = jax.random.split(key)
+            fn = self._pnp_step_fn(i < n_attn, i < n_conv)
+            x, state, sync = fn(
+                self.models.unet_params, x, src, state, concat_conds,
+                embeds3, jnp.asarray(t, jnp.float32),
+                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                jnp.asarray(randfs_np, jnp.int32), jnp.asarray(flips_np),
+                sub,
+            )
+            _ = float(sync)
+            self._last_step_times.append(time.perf_counter() - t_step0)
+            log.info("step %d/%d t=%.1f [pnp]", i + 1, t_steps, float(t))
+        return x
 
     @staticmethod
     def _scatter_noise(noises, e, idx, valid):
@@ -506,6 +627,22 @@ class Generator:
         plan_rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
 
+        if self.use_pnp:
+            if self._pnp_latents_dir is None:
+                raise FileNotFoundError(
+                    "control=pnp requires inverted latents: pass a "
+                    "latents_path holding noisy_latents_{t} for every "
+                    "generation timestep (run the Inverter with "
+                    "save_intermediate and save_steps=n_timesteps)")
+            uncond, cond = embeds
+            src_e = self.encode_prompt_inner("")  # pnp_guidance_embeds
+            sq = uncond.shape[1]
+            if src_e.shape[1] < sq:
+                src_e = jnp.concatenate(
+                    [src_e] * math.ceil(sq / src_e.shape[1]), axis=1)[:, :sq]
+            return self._ddim_sample_pnp(
+                x, (src_e, uncond, cond), concat_conds, plan_rng, key)
+
         if self.alpha_t <= 0 and self.fuse_loop:
             # xy-only: one fused scan over all steps
             plans_idx, plans_valid, randfs_all, flips_all = [], [], [], []
@@ -640,8 +777,15 @@ class Generator:
             frames = self.composite_background(frames)
         n, h, w, _ = frames.shape
         tracker = CostTracker()
+        self._frame_ids = list(frame_ids) if frame_ids is not None else None
 
         init_noise = self.prepare_init_noise(n, h, w, self.seed)
+        if self.models.model_key != "iclight" and latents_path:
+            # inversion -> generation resume boundary (generate.py:192-195):
+            # the inverted latents at the first generation timestep replace
+            # the fresh init noise
+            init_noise = self._load_inverted_latents(
+                latents_path, frame_ids, init_noise)
         if self.models.model_key == "iclight":
             concat_conds = self.encode_imgs_batch(frames)
             if self.models.unet.config.in_channels == 12:
@@ -728,7 +872,7 @@ class Generator:
                 clean_frames = jnp.asarray(clean_frames)
                 # static warp-kernel radius for the scatter-free Pallas warp
                 # (flows are fixed during post-opt); CPU keeps the gather AD
-                on_tpu = jax.default_backend() == "tpu"
+                on_tpu = compute_platform() == "tpu"
                 radius = flow_radius(np.asarray(past_flows)) if on_tpu else None
                 if on_tpu:
                     # compact f16 uploads over the slow tunnel; kept f16 on
@@ -781,7 +925,7 @@ class Generator:
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
             if (isinstance(clean_frames, jax.Array)
-                    and jax.default_backend() == "tpu"):
+                    and compute_platform() == "tpu"):
                 # quantize to uint8 on device: 4x less d2h over the slow
                 # tunnel, and the mp4 output is 8-bit anyway. Chunked so
                 # the temp never doubles a multi-GB video (and survives a
@@ -822,6 +966,34 @@ class Generator:
             log.info("done [%s]: %.1fs total, %.2fs/frame", edit_name,
                      cost["total_time"], cost["sec_per_frame"])
         return results
+
+    def _load_inverted_latents(self, latents_path, frame_ids, init_noise):
+        """Load `noisy_latents_{t0}` as init noise; for PnP, verify the
+        whole per-timestep latent cache exists (check_latent_exists,
+        generate_utils.py:328-338)."""
+        from tclight_tpu.pipeline.invert import check_latent_exists, load_latent
+
+        ts = self.scheduler.timesteps()
+        need = list(ts) if self.use_pnp else [ts[0]]
+        missing = [
+            float(t) for t in need
+            if not check_latent_exists(latents_path, float(t), frame_ids)
+        ]
+        if missing:
+            msg = (f"inverted latents missing at {latents_path} for "
+                   f"timesteps {missing[:5]}{'...' if len(missing) > 5 else ''}")
+            if self.use_pnp:
+                raise FileNotFoundError(
+                    msg + " — PnP needs latents at every generation "
+                    "timestep (Inverter save_intermediate with "
+                    "save_steps == n_timesteps)")
+            log.warning("%s; using fresh init noise", msg)
+            return init_noise
+        self._pnp_latents_dir = latents_path
+        loaded = load_latent(latents_path, float(ts[0]), frame_ids)
+        log.info("loaded inverted init latents %s from %s",
+                 loaded.shape, latents_path)
+        return jnp.asarray(loaded)
 
     def _handle_missing_prompt(self, frames, output_path) -> str:
         """Pixtral prompt upsampling (generate.py:536-547); falls back to a

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tclight_tpu.diffusion.schedulers import DPMSolverMultistepScheduler
+from tclight_tpu.diffusion.schedulers import (
+    DDIMStateScheduler, DPMSolverMultistepScheduler)
 from tclight_tpu.models.clip_text import CLIPTextConfig, CLIPTextModel
 from tclight_tpu.models.convert import (
     convert_clip_text,
@@ -177,6 +178,22 @@ def build_tiny_iclight(
     )
 
 
+def build_tiny_sd(
+    seed: int = 0, num_inference_steps: int = 4, latent_base: int = 16,
+) -> ICLightModels:
+    """Random-weight tiny generic-SD stack (4-channel UNet, DDIM updates)
+    for exercising the inversion/PnP editing path in tests."""
+    models = build_tiny_iclight(
+        seed=seed, num_inference_steps=num_inference_steps, in_channels=4,
+        latent_base=latent_base,
+    )
+    return dataclasses.replace(
+        models,
+        scheduler=DDIMStateScheduler(num_inference_steps=num_inference_steps),
+        model_key="1.5",
+    )
+
+
 def load_sd(
     model_dir: str | Path,
     sd_version: str = "1.5",
@@ -212,6 +229,8 @@ def load_sd(
         vae=vae, vae_params=cast(vae_params),
         text_encoder=text_encoder, text_params=text_params,
         tokenizer=tokenizer,
-        scheduler=DPMSolverMultistepScheduler(num_inference_steps=num_inference_steps),
+        # the editing path samples with plain DDIM updates
+        # (generate_utils.py pred_next_x :283-313), not DPM-Solver
+        scheduler=DDIMStateScheduler(num_inference_steps=num_inference_steps),
         model_key=sd_version,
     )

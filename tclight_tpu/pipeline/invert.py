@@ -60,6 +60,14 @@ class Inverter:
         self.prompt = inv.get("prompt", "") or ""
         self.data_parser = data_parser
         self.scheduler = DDIMScheduler(num_inference_steps=self.steps)
+        # save set = the timesteps of a `save_steps`-step schedule
+        # (invert.py:58-59) — with leading spacing and save_steps | steps
+        # these are a subset of the inversion timesteps, and generation at
+        # n_timesteps == save_steps finds every latent PnP needs
+        self.timesteps_to_save = set(
+            int(t) for t in
+            DDIMScheduler(num_inference_steps=self.save_steps).timesteps()
+        )
 
     def _encode_text(self, prompt: str) -> jnp.ndarray:
         tok = self.models.tokenizer
@@ -99,8 +107,7 @@ class Inverter:
                                         x[j : j + self.batch_size], i))
             x = jnp.concatenate(outs, axis=0)
             t_now = float(ts[i])
-            step_no = len(ts) - i
-            if self.save_intermediate and step_no % self.save_steps == 0:
+            if self.save_intermediate and int(t_now) in self.timesteps_to_save:
                 np.save(latent_filename(save_path, t_now), np.asarray(x))
         np.save(latent_filename(save_path, float(ts[0])), np.asarray(x))
         return x
