@@ -1,16 +1,22 @@
 """Evaluation CLI — mirrors the reference evaluate.py (:17-133).
 
-Walks an output dir (the Generator's per-prompt run folders), computes
-warp-error-ssim (+ CLIP/PickScore metrics when local CLIP checkpoints are
-configured) and cost metrics, and writes `result.txt` in the reference
-format (warp-error-ssim x100 etc., evaluate.py:67-88).
+Walks an output dir (the Generator's per-prompt run folders) and writes
+`result.txt` in the reference format (warp-error scaling rules,
+evaluate.py:67-88). Emits the full reference metric set when the
+checkpoint-gated models are configured:
+
+  warp-error-ssim        always (flows per --flow_model; reference uses RAFT)
+  psnr / ssim            always (weight-free, edited vs source)
+  clip-frame, clip-text  with --clip_ckpt (local CLIP ViT-B/32 dir)
+  pick-score             with --pick_ckpt (local PickScore/CLIP-H dir)
+  frame-lpips            with --lpips_ckpt (local VGG16 + lpips lin dir)
+  z_* cost rows          with --eval_cost (from the saved run config)
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
-from collections import defaultdict
 from pathlib import Path
 
 import numpy as np
@@ -25,9 +31,12 @@ def find_run_dirs(output_dir: Path):
     )
 
 
-def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None) -> dict:
+def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None,
+                 pick_embed=None, lpips_obj=None, flow=("farneback", None)) -> dict:
     from tclight_tpu.data.flow_backends import compute_flow_pairs
-    from tclight_tpu.eval.metrics import warp_error_ssim, clip_frame_score
+    from tclight_tpu.eval.metrics import (
+        clip_frame_score, clip_text_score, frame_lpips, pick_score, psnr,
+        ssim_gaussian, warp_error_ssim)
     from tclight_tpu.utils.video_io import load_video
 
     cfg = yaml.safe_load((run_dir / "config.yaml").read_text()) or {}
@@ -47,23 +56,43 @@ def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None) -> dict:
         source = np.stack([
             cv2.resize(f, (edited.shape[2], edited.shape[1])) for f in source
         ])
+    n = min(len(edited), len(source))
+    edited, source = edited[:n], source[:n]
 
-    flow_fwd = compute_flow_pairs(source, "future")[:-1]
-    flow_bwd_full = compute_flow_pairs(source, "past")
-    flow_bwd = flow_bwd_full[1:]
+    backend, flow_model = flow
+    flow_fwd = compute_flow_pairs(source, "future", backend=backend,
+                                  raft=flow_model)[:-1]
+    flow_bwd = compute_flow_pairs(source, "past", backend=backend,
+                                  raft=flow_model)[1:]
     scores["warp-error-ssim"] = warp_error_ssim(
         edited, source, flow_fwd=flow_fwd, flow_bwd=flow_bwd
     )
+    scores["psnr"] = psnr(edited, source)
+    scores["ssim"] = ssim_gaussian(edited, source)
+
+    prompts = (cfg.get("generation", {}) or {}).get("prompt", {}) or {}
+    prompt = next(iter(prompts.values()), "") or ""
 
     if clip_embed is not None:
-        prompts = (cfg.get("generation", {}) or {}).get("prompt", {}) or {}
-        prompt = next(iter(prompts.values()), "") or ""
         embs, temb = clip_embed(edited, prompt)
         scores["clip-frame"] = clip_frame_score(embs)
-        if prompt:
-            from tclight_tpu.eval.metrics import clip_text_score
+        if prompt and temb is not None:
+            try:
+                scores["clip-text"] = clip_text_score(embs, temb)
+            except Exception:
+                # reference fallback: split long prompts by sentence
+                parts = [p for p in prompt.split(".") if p.strip()]
+                vals = [clip_text_score(embs, clip_embed(edited, p)[1])
+                        for p in parts]
+                scores["clip-text"] = float(np.mean(vals))
 
-            scores["clip-text"] = clip_text_score(embs, temb)
+    if pick_embed is not None and prompt:
+        embs, temb = pick_embed(edited, prompt)
+        if temb is not None:
+            scores["pick-score"] = pick_score(embs, temb)
+
+    if lpips_obj is not None:
+        scores["frame-lpips"] = frame_lpips(edited, source, lpips_obj)
 
     if eval_cost:
         spf = cfg.get("sec_per_frame")
@@ -94,14 +123,34 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--output_dir", type=str, default="workdir")
     parser.add_argument("--eval_cost", action="store_true")
+    parser.add_argument("--clip_ckpt", type=str, default=None,
+                        help="local CLIP ViT-B/32 checkpoint dir")
+    parser.add_argument("--pick_ckpt", type=str, default=None,
+                        help="local PickScore (CLIP-H) checkpoint dir")
+    parser.add_argument("--lpips_ckpt", type=str, default=None,
+                        help="local VGG16 + lpips lin-head checkpoint dir")
+    parser.add_argument("--flow_model", type=str, default="farneback",
+                        choices=["farneback", "raft", "memflow"],
+                        help="flow backend for warp-error (reference: raft)")
+    parser.add_argument("--flow_ckpt", type=str, default=None)
     args = parser.parse_args(argv)
+
+    from tclight_tpu.eval import loaders
+
+    clip_embed = loaders.load_clip_embed(args.clip_ckpt) if args.clip_ckpt else None
+    pick_embed = (loaders.load_clip_embed(args.pick_ckpt, variant="h14")
+                  if args.pick_ckpt else None)
+    lpips_obj = loaders.load_lpips(args.lpips_ckpt) if args.lpips_ckpt else None
+    flow = loaders.load_flow_backend(args.flow_model, args.flow_ckpt)
 
     run_dirs = find_run_dirs(Path(args.output_dir))
     if not run_dirs:
         print(f"no runs under {args.output_dir}")
         return 1
     for run_dir in run_dirs:
-        scores = evaluate_run(run_dir, args.eval_cost)
+        scores = evaluate_run(run_dir, args.eval_cost, clip_embed=clip_embed,
+                              pick_embed=pick_embed, lpips_obj=lpips_obj,
+                              flow=flow)
         if scores:
             print_and_save_results(run_dir, scores)
     return 0

@@ -33,6 +33,9 @@ __all__ = [
     "clip_frame_score",
     "clip_text_score",
     "pick_score",
+    "psnr",
+    "ssim_gaussian",
+    "frame_lpips",
 ]
 
 
@@ -109,6 +112,65 @@ def warp_error_ssim(
             )
         )
     return float(np.mean(scores))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean per-frame PSNR of [0,1] images (eval_utils.py:390-392)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = ((a - b) ** 2).reshape(a.shape[0], -1).mean(axis=1)
+    return float(np.mean(20.0 * np.log10(1.0 / np.sqrt(np.maximum(mse, 1e-12)))))
+
+
+def _gaussian_window(win: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(win) - win // 2) ** 2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float64)
+
+
+def ssim_gaussian(a: np.ndarray, b: np.ndarray, win: int = 11) -> float:
+    """The reference eval ssim (eval_utils.py:395-434): 11x11 Gaussian
+    window sigma 1.5, per-channel depthwise conv with same-padding,
+    C1=0.01^2, C2=0.03^2 on [0,1] data, mean over the full map.
+    a, b: (N, H, W, C) or (H, W, C) in [0,1]."""
+    from scipy.signal import convolve2d
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 3:
+        a, b = a[None], b[None]
+    w = _gaussian_window(win)
+    c1, c2 = 0.01**2, 0.03**2
+
+    def filt(x):  # (H, W) same-padding depthwise conv
+        return convolve2d(x, w, mode="same", boundary="fill")
+
+    vals = []
+    for n in range(a.shape[0]):
+        for c in range(a.shape[-1]):
+            x, y = a[n, ..., c], b[n, ..., c]
+            mu1, mu2 = filt(x), filt(y)
+            s1 = filt(x * x) - mu1**2
+            s2 = filt(y * y) - mu2**2
+            s12 = filt(x * y) - mu1 * mu2
+            m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+                (mu1**2 + mu2**2 + c1) * (s1 + s2 + c2)
+            )
+            vals.append(m.mean())
+    return float(np.mean(vals))
+
+
+def frame_lpips(edited: np.ndarray, source: np.ndarray, lpips_obj,
+                batch: int = 4) -> float:
+    """FrameLPIPS (eval_utils.py:369-386): mean LPIPS between edited frame
+    i and source frame i over frames [0, N-1)."""
+    n = edited.shape[0] - 1
+    vals = []
+    for i in range(0, n, batch):
+        d = lpips_obj(jnp.asarray(edited[i : min(i + batch, n)]),
+                      jnp.asarray(source[i : min(i + batch, n)]))
+        vals.append(np.asarray(d).reshape(-1))
+    return float(np.concatenate(vals).mean())
 
 
 def clip_frame_score(image_embs: np.ndarray) -> float:

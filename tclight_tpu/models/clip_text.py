@@ -34,6 +34,18 @@ class CLIPTextConfig:
         return CLIPTextConfig(dtype=dtype)
 
     @staticmethod
+    def vit_b32(dtype=jnp.float32) -> "CLIPTextConfig":
+        """openai CLIP ViT-B/32 text tower (hidden 512, proj 512)."""
+        return CLIPTextConfig(hidden_size=512, num_layers=12, num_heads=8,
+                              intermediate_size=2048, dtype=dtype)
+
+    @staticmethod
+    def vit_h14(dtype=jnp.float32) -> "CLIPTextConfig":
+        """laion CLIP-ViT-H-14 text tower (the PickScore_v1 backbone)."""
+        return CLIPTextConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                              intermediate_size=4096, dtype=dtype)
+
+    @staticmethod
     def tiny(dtype=jnp.float32) -> "CLIPTextConfig":
         return CLIPTextConfig(
             vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,

@@ -41,6 +41,14 @@ class CLIPVisionConfig:
         return CLIPVisionConfig()
 
     @staticmethod
+    def vit_h14() -> "CLIPVisionConfig":
+        """laion CLIP-ViT-H-14 vision tower (the PickScore_v1 backbone)."""
+        return CLIPVisionConfig(
+            image_size=224, patch_size=14, hidden_size=1280, num_layers=32,
+            num_heads=16, intermediate_size=5120, projection_dim=1024,
+        )
+
+    @staticmethod
     def tiny() -> "CLIPVisionConfig":
         return CLIPVisionConfig(image_size=32, patch_size=16, hidden_size=32,
                                 num_layers=2, num_heads=2,

@@ -28,10 +28,6 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tclight_tpu.ops.color import SH2RGB
-from tclight_tpu.ops.flow import warp_flow
-from tclight_tpu.ops.losses import relaxed_ms_ssim, tv_loss
-
 __all__ = [
     "build_parallel_denoise_step",
     "build_sharded_uvt_step",
@@ -135,45 +131,27 @@ def build_parallel_denoise_step(unet, chunk_size: int, guidance: float,
     return jax.jit(step)
 
 
-def build_sharded_uvt_step(mesh: Mesh, cfg, h: int, w: int):
+def build_sharded_uvt_step(mesh: Mesh, cfg, h: int, w: int,
+                           warp_radius: int | None = None):
     """One UVT training step with the frame batch sharded over 'data'.
 
-    step(features (P,3), opt_state, frames (B,H,W,3), pre_frames,
-         past_flows, masks, inv_cur (B*H*W,), inv_pre, valid (B,))
-    -> (features, opt_state, loss)
+    The loss is pipeline.postopt.uvt_loss — the SAME implementation the
+    single-device epoch scan runs; this builder only adds the mesh and the
+    optimizer step.
+
+    step(features (P,3), opt_state, frames (N,H,W,3), past_flows, masks,
+         tables, idxs (B,), bmask (B,)) -> (features, opt_state, loss)
     """
+    from tclight_tpu.pipeline.postopt import uvt_loss
+
     tx = optax.adam(learning_rate=cfg.feature_lr, eps=1e-15)
-    batch_sh = NamedSharding(mesh, P("data"))
-
-    def render(features, inv, b):
-        rgb = jnp.clip(SH2RGB(features)[inv], 0.0, 1.0)
-        return rgb.reshape(b, h, w, 3)
-
-    def loss_fn(features, frames, past_flows, masks, inv_cur, inv_pre, valid):
-        b = frames.shape[0]
-        images = render(features, inv_cur, b)
-        pre_images = render(features, inv_pre, b)
-        warped = warp_flow(pre_images, past_flows)
-        m = masks[..., None] if masks.ndim == 3 else masks
-        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
-        vw = valid.astype(jnp.float32)
-        loss_flow = jnp.sum(flow_per * vw) / jnp.maximum(jnp.sum(vw), 1.0)
-        dssim = 1.0 - relaxed_ms_ssim(
-            images, frames, start_level=cfg.ms_ssim_start_level, data_range=1.0,
-            size_average=True,
-            weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)[: cfg.ms_ssim_levels],
-        )
-        return (
-            (1 - cfg.lambda_flow) * dssim * cfg.lambda_dssim
-            + cfg.lambda_flow * loss_flow
-            + tv_loss(images, cfg.lambda_tv)
-        )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(features, opt_state, frames, past_flows, masks, inv_cur, inv_pre, valid):
-        frames = jax.lax.with_sharding_constraint(frames, batch_sh)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            features, frames, past_flows, masks, inv_cur, inv_pre, valid
+    def step(features, opt_state, frames, past_flows, masks, tables, idxs,
+             bmask):
+        loss, grads = jax.value_and_grad(uvt_loss)(
+            features, frames, past_flows, masks, tables, idxs, bmask,
+            cfg, warp_radius, h, w, mesh,
         )
         updates, opt_state = tx.update(grads, opt_state, features)
         features = optax.apply_updates(features, updates)
@@ -182,36 +160,19 @@ def build_sharded_uvt_step(mesh: Mesh, cfg, h: int, w: int):
     return step, tx
 
 
-def build_sharded_exposure_step(mesh: Mesh, cfg, lr_schedule):
-    """One exposure-alignment step, frame batch sharded over 'data'."""
+def build_sharded_exposure_step(mesh: Mesh, cfg, lr_schedule,
+                                warp_radius: int | None = None):
+    """One exposure-alignment step, frame batch sharded over 'data'; loss
+    shared with pipeline.postopt (exposure_loss)."""
+    from tclight_tpu.pipeline.postopt import exposure_loss
+
     tx = optax.adam(learning_rate=lr_schedule)
-    batch_sh = NamedSharding(mesh, P("data"))
-
-    def apply_exposure(frames, exposure):
-        out = jnp.einsum("bhwc,bcd->bhwd", frames, exposure[:, :3, :3])
-        return jnp.clip(out + exposure[:, None, None, :3, 3], 0.0, 1.0)
-
-    def loss_fn(exposure, idxs, frames, pre_frames, past_flows, masks, valid):
-        images = apply_exposure(frames, exposure[idxs])
-        pre_images = apply_exposure(pre_frames, exposure[jnp.maximum(idxs - 1, 0)])
-        l1 = jnp.mean(jnp.abs(images - frames))
-        dssim = 1.0 - relaxed_ms_ssim(
-            images, frames, start_level=cfg.ms_ssim_start_level, data_range=1.0,
-            weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)[: cfg.ms_ssim_levels],
-        )
-        photo = l1 * (1 - cfg.lambda_dssim) + dssim * cfg.lambda_dssim
-        warped = warp_flow(pre_images, past_flows)
-        m = masks[..., None] if masks.ndim == 3 else masks
-        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
-        vw = (valid & (idxs > 0)).astype(jnp.float32)
-        loss_flow = jnp.sum(flow_per * vw) / jnp.maximum(jnp.sum(vw), 1.0)
-        return (1 - cfg.lambda_flow) * photo + cfg.lambda_flow * loss_flow
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(exposure, opt_state, idxs, frames, pre_frames, past_flows, masks, valid):
-        frames = jax.lax.with_sharding_constraint(frames, batch_sh)
-        loss, grads = jax.value_and_grad(loss_fn)(
-            exposure, idxs, frames, pre_frames, past_flows, masks, valid
+    def step(exposure, opt_state, frames, past_flows, masks, idxs, bmask):
+        loss, grads = jax.value_and_grad(exposure_loss)(
+            exposure, frames, past_flows, masks, idxs, bmask, cfg,
+            warp_radius, mesh,
         )
         updates, opt_state = tx.update(grads, opt_state, exposure)
         exposure = optax.apply_updates(exposure, updates)

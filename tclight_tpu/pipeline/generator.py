@@ -74,6 +74,16 @@ class Generator:
         self.use_pnp = self.control == "pnp"
         self.pnp_attn_t = float(_cfg_get(gen, "pnp_attn_t", 0.5))
         self.pnp_f_t = float(_cfg_get(gen, "pnp_f_t", 0.8))
+        # ControlNet mode (generate_utils.py:59-63 + :267-272)
+        from tclight_tpu.data.controlnet_utils import CONTROLNET_DICT
+
+        self.use_controlnet = (
+            self.control in CONTROLNET_DICT and models.controlnet is not None)
+        self.control_scale = float(_cfg_get(gen, "control_scale", 1.0))
+        if self.control in CONTROLNET_DICT and models.controlnet is None:
+            raise ValueError(
+                f"control={self.control} requires a ControlNet model "
+                f"(load_sd(..., control={self.control!r}))")
 
         self.tome_spec = ToMeSpec(
             n_frames=self.chunk_size,
@@ -109,6 +119,19 @@ class Generator:
             exposure_lr_delay_mult=_cfg_get(post, "exposure_lr_delay_mult", 0.0),
             ms_ssim_levels=_cfg_get(post, "ms_ssim_levels", 5),
         )
+
+        # multi-chip mesh (config `parallel: {n_devices, model_parallel}`):
+        # the SAME step graphs compile SPMD over the mesh — frames/batch
+        # axes sharded over 'data', TP params over 'model', XLA inserts the
+        # ICI collectives (stands in for cosmos1/utils/distributed.py:34-223)
+        par = config.get("parallel", {}) or {}
+        n_dev = int(_cfg_get(par, "n_devices", 0) or 0)
+        self.mesh = None
+        if n_dev > 1:
+            from tclight_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(
+                n_dev, model_parallel=int(_cfg_get(par, "model_parallel", 1)))
 
         self._vae_batch = 8
         # host mirror of the (frozen) UNet params: offloading before
@@ -257,6 +280,19 @@ class Generator:
 
     # ------------------------------------------------------------ denoise
 
+    def _shard_batch(self, x):
+        """Shard a UNet batch's leading axis over the mesh 'data' axis
+        (no-op single-device). Placed on the chunk INPUT so the whole UNet
+        forward partitions batch-parallel; XLA re-shards around the joined
+        token-merge attention on its own."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
     def _pred_chunk(self, params, x_c, cc_c, embeds, t, randf, flip, banks,
                     use_global):
         """CFG batch: [uncond frames | cond frames] (generate.py:296-301)."""
@@ -265,7 +301,8 @@ class Generator:
         cs = self.chunk_size
         latent = jnp.concatenate([x_c, x_c], axis=0)
         cc = jnp.concatenate([cc_c, cc_c], axis=0)
-        inp = jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype)
+        inp = self._shard_batch(
+            jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype))
         uncond, cond = embeds  # each (1, S, hidden)
         ctx = jnp.concatenate(
             [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
@@ -326,6 +363,111 @@ class Generator:
                 (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
             )
         return noises
+
+    def _pred_chunk_ctrl(self, params, ctrl_params, x_c, cc_c, ctrl_c,
+                         embeds, t, randf, flip, banks, use_global):
+        """CFG chunk forward with ControlNet residual injection
+        (generate_utils.py pred_noise :267-272)."""
+        unet = self.models.unet
+        cnet = self.models.controlnet
+        g = self.guidance_scale
+        cs = self.chunk_size
+        latent = jnp.concatenate([x_c, x_c], axis=0)
+        cc = jnp.concatenate([cc_c, cc_c], axis=0)
+        inp = self._shard_batch(
+            jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype))
+        uncond, cond = embeds
+        ctx = jnp.concatenate(
+            [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)],
+            axis=0).astype(unet.config.dtype)
+        cond_img = jnp.concatenate([ctrl_c, ctrl_c], axis=0)
+        down_res, mid_res = cnet.apply(ctrl_params, inp, t, ctx, cond_img)
+        s = self.control_scale
+        down_res = [r * s for r in down_res]
+        mid_res = mid_res * s
+        eps, banks = unet.apply(
+            params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+            use_global=use_global, down_residuals=down_res,
+            mid_residual=mid_res,
+        )
+        eps_u, eps_c = jnp.split(eps, 2, axis=0)
+        return eps_u + g * (eps_c - eps_u), banks
+
+    def _step_core_ctrl(self, params, ctrl_params, x, ctrl, concat_conds,
+                        embeds, t, plan_idx, plan_valid, randfs, flips):
+        """xy denoise step with the control images threaded through the
+        same chunk plan."""
+        def run(noises, banks, use_global, idx, valid, randf, flip):
+            e, banks = self._pred_chunk_ctrl(
+                params, ctrl_params, x[idx], concat_conds[idx], ctrl[idx],
+                embeds, t, randf, flip, banks, use_global,
+            )
+            return self._scatter_noise(noises, e, idx, valid), banks
+
+        noises, banks = run(jnp.zeros_like(x), None, False, plan_idx[0],
+                            plan_valid[0], randfs[0], flips[0])
+        if plan_idx.shape[0] > 1:
+            def body(carry, inp):
+                noises, banks = carry
+                idx, valid, randf, flip = inp
+                noises, banks = run(noises, banks, True, idx, valid, randf,
+                                    flip)
+                return (noises, banks), None
+
+            (noises, banks), _ = jax.lax.scan(
+                body, (noises, banks),
+                (plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:]),
+            )
+        return noises
+
+    def _ctrl_step_fn(self):
+        if getattr(self, "_ctrl_step_jit", None) is None:
+            sched = self.scheduler
+
+            def fn(params, ctrl_params, x, ctrl, state, concat_conds,
+                   embeds, t, plan_idx, plan_valid, randfs, flips, rkey):
+                noises = self._step_core_ctrl(
+                    params, ctrl_params, x, ctrl, concat_conds, embeds, t,
+                    plan_idx, plan_valid, randfs, flips,
+                )
+                state, x = sched.step(state, noises, x, rkey)
+                return x, state, jnp.max(jnp.abs(x[0, 0]))
+
+            self._ctrl_step_jit = jax.jit(fn)
+        return self._ctrl_step_jit
+
+    def _ddim_sample_ctrl(self, x, embeds, concat_conds, plan_rng, key):
+        """Sampling loop with ControlNet conditioning."""
+        n = x.shape[0]
+        sched = self.scheduler
+        timesteps = sched.timesteps()
+        state = sched.init_state(x)
+        ctrl = self._control_images
+        fn = self._ctrl_step_fn()
+        self._last_step_times = []
+        for i, t in enumerate(timesteps):
+            t_step0 = time.perf_counter()
+            plan = chunklib.make_chunk_plan(
+                n, self.chunk_size, plan_rng, self.chunk_ord,
+                self.tome_spec.merge_global,
+            )
+            slots = plan.indices.shape[0]
+            randfs_np = plan_rng.integers(0, 4, size=slots)
+            flips_np = plan_rng.random(slots) <= self.global_rand
+            key, sub = jax.random.split(key)
+            x, state, sync = fn(
+                self.models.unet_params, self.models.controlnet_params,
+                x, ctrl, state, concat_conds, embeds,
+                jnp.asarray(t, jnp.float32),
+                jnp.asarray(plan.indices), jnp.asarray(plan.valid),
+                jnp.asarray(randfs_np, jnp.int32), jnp.asarray(flips_np),
+                sub,
+            )
+            _ = float(sync)
+            self._last_step_times.append(time.perf_counter() - t_step0)
+            log.info("step %d/%d t=%.1f [%s]", i + 1, len(timesteps),
+                     float(t), self.control)
+        return x
 
     def _pnp_step_fn(self, pnp_attn: bool, pnp_conv: bool):
         """Fused denoise+scheduler step, one compiled graph per injection
@@ -615,7 +757,13 @@ class Generator:
         if self.models.unet_params is None:
             self.models.unet_params = self.models.rebuild_params()
         leaves = jax.tree.leaves(self.models.unet_params)
-        if leaves and isinstance(leaves[0], np.ndarray):
+        if self.mesh is not None and not getattr(self, "_params_on_mesh", False):
+            from tclight_tpu.parallel.mesh import shard_params
+
+            self.models.unet_params = shard_params(
+                self.models.unet_params, self.mesh)
+            self._params_on_mesh = True
+        elif leaves and isinstance(leaves[0], np.ndarray):
             self.models.unet_params = jax.tree.map(
                 jnp.asarray, self.models.unet_params
             )
@@ -642,6 +790,13 @@ class Generator:
                     [src_e] * math.ceil(sq / src_e.shape[1]), axis=1)[:, :sq]
             return self._ddim_sample_pnp(
                 x, (src_e, uncond, cond), concat_conds, plan_rng, key)
+
+        if self.use_controlnet:
+            if getattr(self, "_control_images", None) is None:
+                raise RuntimeError("control images not prepared; call the "
+                                   "Generator via __call__")
+            return self._ddim_sample_ctrl(x, embeds, concat_conds, plan_rng,
+                                          key)
 
         if self.alpha_t <= 0 and self.fuse_loop:
             # xy-only: one fused scan over all steps
@@ -780,6 +935,22 @@ class Generator:
         self._frame_ids = list(frame_ids) if frame_ids is not None else None
 
         init_noise = self.prepare_init_noise(n, h, w, self.seed)
+        if self.use_controlnet:
+            # control images from the source frames (prepare_control,
+            # VidToMe utils.py:349-380). The ControlNet cond embedder
+            # downsamples by 8 (SD1.5); resize when the VAE factor differs
+            # (tiny test stacks) so residuals land at latent resolution.
+            from tclight_tpu.data.controlnet_utils import control_preprocess
+
+            ctrl = control_preprocess(frames, self.control)
+            if self.vae_factor != 8:
+                import cv2
+
+                lat_h, lat_w = h // self.vae_factor, w // self.vae_factor
+                ctrl = np.stack([
+                    cv2.resize(f, (lat_w * 8, lat_h * 8)) for f in ctrl
+                ])
+            self._control_images = jnp.asarray(ctrl)
         if self.models.model_key != "iclight" and latents_path:
             # inversion -> generation resume boundary (generate.py:192-195):
             # the inverted latents at the first generation timestep replace
@@ -854,6 +1025,7 @@ class Generator:
                     )
                 dev_params = self.models.unet_params
                 self.models.unet_params = self._host_unet_params  # may be None
+                self._params_on_mesh = False
                 if jax.tree.leaves(dev_params) and isinstance(
                     jax.tree.leaves(dev_params)[0], jax.Array
                 ):
@@ -888,6 +1060,7 @@ class Generator:
                 clean_frames, _, losses_exposure, exp_times = run_exposure_align(
                     clean_frames, flows_dev, masks_dev,
                     self.post_cfg, seed=self.seed, warp_radius=radius,
+                    mesh=self.mesh,
                 )
                 self.stage_times["exposure"] = time.perf_counter() - t_s
                 self.stage_times["exposure_epochs"] = exp_times.tolist()
@@ -902,6 +1075,7 @@ class Generator:
                         clean_frames, flows_dev, masks_dev,
                         self.data_parser.unq_inv, self.data_parser.n_unique,
                         self.post_cfg, seed=self.seed, warp_radius=radius,
+                        mesh=self.mesh,
                     )
                     self.stage_times["uvt_epochs"] = uvt_times.tolist()
                 except Exception as e:  # noqa: BLE001

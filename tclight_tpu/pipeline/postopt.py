@@ -30,11 +30,15 @@ import optax
 
 from tclight_tpu.ops.color import RGB2SH, SH2RGB
 from tclight_tpu.ops.flow import warp_flow
-from tclight_tpu.ops.losses import l1_loss, relaxed_ms_ssim, tv_loss
+from tclight_tpu.ops.losses import relaxed_ms_ssim
 from tclight_tpu.ops.schedules import expon_lr_schedule
 from tclight_tpu.ops.warp_kernel import warp_flow_window
 
-__all__ = ["PostOptConfig", "run_exposure_align", "run_uvt", "flow_radius"]
+__all__ = [
+    "PostOptConfig", "run_exposure_align", "run_uvt", "flow_radius",
+    "exposure_loss", "uvt_loss", "uvt_gather", "uvt_render",
+    "build_uvt_tables", "init_palette", "render_palette",
+]
 
 
 def flow_radius(flows, bucket: int = 4, cap: int = 128) -> int | None:
@@ -100,6 +104,48 @@ def _ms_ssim_per_sample(a, b, cfg: PostOptConfig):
     )  # (B,)
 
 
+def _batch_constraint(x, mesh):
+    """Shard a per-batch tensor's leading axis over the mesh 'data' axis
+    (no-op without a mesh). This is the ONLY multi-chip hook the loss math
+    needs: XLA partitions the pixel work and psums the reductions."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def exposure_loss(exposure, frames, past_flows, masks_bwd, idxs, bmask,
+                  cfg: PostOptConfig, warp_radius=None, mesh=None):
+    """The stage-1 loss (generate.py:405-430), shared verbatim between the
+    single-device epoch scan and the sharded multi-chip step."""
+    edited = _batch_constraint(frames[idxs], mesh)
+    pre_idx = jnp.maximum(idxs - 1, 0)
+    pre_edited = _batch_constraint(frames[pre_idx], mesh)
+    images = _apply_exposure(edited, exposure[idxs])
+    pre_images = _apply_exposure(pre_edited, exposure[pre_idx])
+
+    # photometric vs the un-transformed edited frames
+    l1_per = jnp.mean(jnp.abs(images - edited), axis=(1, 2, 3))
+    dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
+    loss_photo = (
+        _masked_mean(l1_per, bmask) * (1 - cfg.lambda_dssim)
+        + _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
+    )
+
+    # flows/masks may be stored f16 on device (tunnel-compact);
+    # promote the batch slice for the loss math
+    warped = _warp(pre_images,
+                   _batch_constraint(past_flows[idxs], mesh)
+                   .astype(jnp.float32), warp_radius)
+    m = _batch_constraint(masks_bwd[idxs], mesh).astype(jnp.float32)
+    valid = bmask & (idxs > 0)
+    flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
+    loss_flow = _masked_mean(flow_per, valid)
+    return (1 - cfg.lambda_flow) * loss_photo + cfg.lambda_flow * loss_flow
+
+
 def _epoch_batches(n: int, batch_size: int, rng: np.random.Generator):
     """Shuffled, padded batch indices for one epoch: (n_batches, B) + mask."""
     perm = rng.permutation(n)
@@ -132,15 +178,16 @@ def run_exposure_align(
     cfg: PostOptConfig,
     seed: int = 0,
     warp_radius: int | None = None,
+    mesh=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray, np.ndarray]:
     """Optimize per-frame affine exposure, bake it in. Returns (aligned
-    frames, exposure (N,3,4), loss history, per-epoch wall seconds)."""
+    frames, exposure (N,3,4), loss history, per-epoch wall seconds).
+    With `mesh`, the frame batch is sharded over the 'data' axis."""
     n = frames.shape[0]
     if masks_bwd.ndim == 3:
         masks_bwd = masks_bwd[..., None]
     exposure0 = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4)).astype(jnp.float32)
 
-    n_batches = -(-n // cfg.batch_size)
     total_iters = max(cfg.epochs_exposure * n // cfg.batch_size, 1)
     lr_fn = expon_lr_schedule(
         cfg.exposure_lr_init, cfg.exposure_lr_final,
@@ -149,30 +196,8 @@ def run_exposure_align(
     tx = optax.adam(learning_rate=lr_fn)
 
     def loss_fn(exposure, frames, past_flows, masks_bwd, idxs, bmask):
-        edited = frames[idxs]
-        pre_idx = jnp.maximum(idxs - 1, 0)
-        pre_edited = frames[pre_idx]
-        images = _apply_exposure(edited, exposure[idxs])
-        pre_images = _apply_exposure(pre_edited, exposure[pre_idx])
-
-        # photometric vs the un-transformed edited frames
-        l1_per = jnp.mean(jnp.abs(images - edited), axis=(1, 2, 3))
-        dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
-        loss_photo = (
-            _masked_mean(l1_per, bmask) * (1 - cfg.lambda_dssim)
-            + _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
-        )
-
-        # flows/masks may be stored f16 on device (tunnel-compact);
-        # promote the batch slice for the loss math
-        warped = _warp(pre_images,
-                       past_flows[idxs].astype(jnp.float32), warp_radius)
-        m = masks_bwd[idxs].astype(jnp.float32)
-        valid = bmask & (idxs > 0)
-        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
-        loss_flow = _masked_mean(flow_per, valid)
-        loss = (1 - cfg.lambda_flow) * loss_photo + cfg.lambda_flow * loss_flow
-        return loss
+        return exposure_loss(exposure, frames, past_flows, masks_bwd, idxs,
+                             bmask, cfg, warp_radius, mesh)
 
     @jax.jit
     def run_epoch(exposure, opt_state, frames, past_flows, masks_bwd,
@@ -349,28 +374,11 @@ def render_palette(features_dc: jnp.ndarray, unq_inv: jnp.ndarray,
     return rgb.reshape(shape)
 
 
-def run_uvt(
-    frames: jnp.ndarray,       # (N, H, W, 3) exposure-aligned edited frames
-    past_flows: jnp.ndarray,
-    masks_bwd: jnp.ndarray,
-    unq_inv: np.ndarray,       # (N*H*W,) int32 track ids
-    n_unique: int,
-    cfg: PostOptConfig,
-    seed: int = 0,
-    warp_radius: int | None = None,
-) -> tuple[jnp.ndarray, np.ndarray, np.ndarray]:
-    """Unique-Video-Tensor optimization. Returns (rendered frames, loss
-    history, per-epoch wall seconds)."""
-    if cfg.epochs <= 0:
-        return frames, np.zeros(0), np.zeros(0)
-    n, h, w, _ = frames.shape
-    if masks_bwd.ndim == 3:
-        masks_bwd = masks_bwd[..., None]
-    # pad palette to a lane-aligned static size
-    p_pad = max(128, int(np.ceil(n_unique / 128)) * 128)
-    # static track->pixel inverse maps, computed once: the palette adjoint
-    # becomes pure gathers (see _palette_gather); for palettes where the
-    # dense (N, P) map would not fit, fall back to the sorted CSR adjoint
+def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
+                     p_pad: int):
+    """Static per-frame palette-index tables. Returns (tables, inv_np):
+    4-tuple tables -> dense inverse-map adjoint; 3-tuple -> sorted CSR
+    adjoint (memory-bounded fallback for very long videos)."""
     inv_np = np.asarray(unq_inv, np.int32).reshape(n, h * w)
     dense_map = n * p_pad * 4 <= _DENSE_MAP_MAX_BYTES
     unq_inv_frames = jnp.asarray(inv_np)
@@ -382,21 +390,94 @@ def run_uvt(
         perm_np = np.argsort(inv_np, axis=1, kind="stable").astype(np.int32)
         ids_sorted_np = np.take_along_axis(inv_np, perm_np, axis=1)
         tables_rest = (jnp.asarray(perm_np), jnp.asarray(ids_sorted_np))
-    tables = (unq_inv_frames,) + tables_rest
+    return (unq_inv_frames,) + tables_rest, inv_np
+
+
+def uvt_gather(features, tables, idx):
+    """Palette gather with the scatter-free adjoint matching the table
+    layout (len 4 = dense inverse map, len 3 = sorted CSR)."""
+    inv_f = tables[0]
+    if len(tables) == 4:
+        _, map_f, op_f, oi_f = tables
+        return _palette_gather(features, inv_f[idx], map_f[idx],
+                               op_f[idx], oi_f[idx])
+    _, perm_f, ids_f = tables
+    return _palette_gather_sorted(features, inv_f[idx], perm_f[idx],
+                                  ids_f[idx])
+
+
+def uvt_render(features, tables, idx, h: int, w: int):
+    rgb = uvt_gather(features, tables, idx)
+    return jnp.clip(SH2RGB(rgb), 0.0, 1.0).reshape(-1, h, w, 3)
+
+
+def uvt_loss(features, frames, past_flows, masks_bwd, tables, idxs, bmask,
+             cfg: PostOptConfig, warp_radius, h: int, w: int, mesh=None):
+    """The stage-2 loss (generate.py:499-512), shared verbatim between the
+    single-device epoch scan and the sharded multi-chip step."""
+    pre_idx = jnp.maximum(idxs - 1, 0)
+    images = _batch_constraint(uvt_render(features, tables, idxs, h, w), mesh)
+    pre_images = _batch_constraint(
+        uvt_render(features, tables, pre_idx, h, w), mesh)
+
+    edited = _batch_constraint(frames[idxs], mesh)
+    # flows/masks may be stored f16 on device (tunnel-compact);
+    # promote the batch slice for the loss math
+    warped = _warp(pre_images,
+                   _batch_constraint(past_flows[idxs], mesh)
+                   .astype(jnp.float32), warp_radius)
+    m = _batch_constraint(masks_bwd[idxs], mesh).astype(jnp.float32)
+    valid = bmask & (idxs > 0)
+    flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
+    loss_flow = _masked_mean(flow_per, valid)
+    dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
+    loss_photo = _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
+    # per-sample TV, masked-mean over the real (unpadded) batch rows —
+    # exactly the reference TVLoss (loss_utils.py:324-340) whose torch
+    # DataLoader batches are never padded
+    c = images.shape[-1]
+    h_tv = jnp.sum((images[:, 1:] - images[:, :-1]) ** 2, axis=(1, 2, 3))
+    w_tv = jnp.sum((images[:, :, 1:] - images[:, :, :-1]) ** 2, axis=(1, 2, 3))
+    tv_per = 2.0 * (h_tv / (c * (h - 1) * w) + w_tv / (c * h * (w - 1)))
+    tv = cfg.lambda_tv * _masked_mean(tv_per, bmask)
+    return (
+        (1 - cfg.lambda_flow) * loss_photo
+        + cfg.lambda_flow * loss_flow
+        + tv
+    )
+
+
+def run_uvt(
+    frames: jnp.ndarray,       # (N, H, W, 3) exposure-aligned edited frames
+    past_flows: jnp.ndarray,
+    masks_bwd: jnp.ndarray,
+    unq_inv: np.ndarray,       # (N*H*W,) int32 track ids
+    n_unique: int,
+    cfg: PostOptConfig,
+    seed: int = 0,
+    warp_radius: int | None = None,
+    mesh=None,
+) -> tuple[jnp.ndarray, np.ndarray, np.ndarray]:
+    """Unique-Video-Tensor optimization. Returns (rendered frames, loss
+    history, per-epoch wall seconds). With `mesh`, the frame batch is
+    sharded over the 'data' axis."""
+    if cfg.epochs <= 0:
+        return frames, np.zeros(0), np.zeros(0)
+    n, h, w, _ = frames.shape
+    if masks_bwd.ndim == 3:
+        masks_bwd = masks_bwd[..., None]
+    # pad palette to a lane-aligned static size
+    p_pad = max(128, int(np.ceil(n_unique / 128)) * 128)
+    # static track->pixel inverse maps, computed once: the palette adjoint
+    # becomes pure gathers (see _palette_gather); for palettes where the
+    # dense (N, P) map would not fit, fall back to the sorted CSR adjoint
+    tables, inv_np = build_uvt_tables(unq_inv, n, h, w, p_pad)
 
     def gather_raw(features, tables, idx):
-        inv_f = tables[0]
-        if dense_map:
-            _, map_f, op_f, oi_f = tables
-            return _palette_gather(features, inv_f[idx], map_f[idx],
-                                   op_f[idx], oi_f[idx])
-        _, perm_f, ids_f = tables
-        return _palette_gather_sorted(features, inv_f[idx], perm_f[idx],
-                                      ids_f[idx])
+        return uvt_gather(features, tables, idx)
 
     def render_fast(features, tables, idx):
-        rgb = gather_raw(features, tables, idx)
-        return jnp.clip(SH2RGB(rgb), 0.0, 1.0).reshape(len(idx), h, w, 3)
+        return uvt_render(features, tables, idx, h, w)
 
     # memory-bounded scatter-mean init (generate.py:477-481): the naive
     # whole-video segment_sum materializes N*H*W-row intermediates and
@@ -432,27 +513,8 @@ def run_uvt(
 
     def loss_fn(features, frames, past_flows, masks_bwd, tables,
                 idxs, bmask):
-        pre_idx = jnp.maximum(idxs - 1, 0)
-        images = render_fast(features, tables, idxs)
-        pre_images = render_fast(features, tables, pre_idx)
-
-        edited = frames[idxs]
-        # flows/masks may be stored f16 on device (tunnel-compact);
-        # promote the batch slice for the loss math
-        warped = _warp(pre_images,
-                       past_flows[idxs].astype(jnp.float32), warp_radius)
-        m = masks_bwd[idxs].astype(jnp.float32)
-        valid = bmask & (idxs > 0)
-        flow_per = jnp.mean(jnp.abs(warped * m - images * m), axis=(1, 2, 3))
-        loss_flow = _masked_mean(flow_per, valid)
-        dssim_per = 1.0 - _ms_ssim_per_sample(images, edited, cfg)
-        loss_photo = _masked_mean(dssim_per, bmask) * cfg.lambda_dssim
-        loss = (
-            (1 - cfg.lambda_flow) * loss_photo
-            + cfg.lambda_flow * loss_flow
-            + tv_loss(images, cfg.lambda_tv)
-        )
-        return loss
+        return uvt_loss(features, frames, past_flows, masks_bwd, tables,
+                        idxs, bmask, cfg, warp_radius, h, w, mesh)
 
     @jax.jit
     def run_epoch(features, opt_state, frames, past_flows, masks_bwd,

@@ -22,6 +22,7 @@ def test_arch_table():
         create_text_model_config("nope", "1b")
 
 
+@pytest.mark.slow
 def test_discrete_multimodal_tokenizer():
     import jax.numpy as jnp
 

@@ -1,10 +1,12 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from tclight_tpu.models.briarmbg import BriaRMBG, convert_rmbg_params
 
 
+@pytest.mark.slow
 def test_rmbg_forward_shapes():
     model = BriaRMBG()
     x = jnp.asarray(

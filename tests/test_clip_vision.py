@@ -20,6 +20,7 @@ def test_vision_forward_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vision_parity_with_transformers(rng):
     import torch
     from transformers import CLIPVisionConfig as HFCfg

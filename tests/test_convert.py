@@ -132,6 +132,7 @@ def flax_to_torch_unet(params, n_levels):
     return sd
 
 
+@pytest.mark.slow
 def test_unet_conversion_bijection():
     cfg = UNetConfig.tiny(in_channels=8)
     model = UNet2DCondition(cfg)

@@ -64,6 +64,7 @@ def test_llm_parity_vs_mistral(mistral_tiny):
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vit_parity_vs_pixtral(mistral_tiny):
     from transformers import PixtralVisionConfig, PixtralVisionModel
 

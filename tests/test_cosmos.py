@@ -58,6 +58,7 @@ def test_edm_sampler_recovers_x0(solver):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_dit_forward_shapes():
     cfg = DiTConfig.tiny()
     model = GeneralDIT(cfg)
@@ -70,6 +71,7 @@ def test_dit_forward_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dit_edm_denoiser_wrap():
     cfg = DiTConfig.tiny()
     model = GeneralDIT(cfg)

@@ -40,6 +40,7 @@ def test_inverter_saves_and_skips(tmp_path, rng):
     inv(save_path, [0, 1, 2, 3])
 
 
+@pytest.mark.slow
 def test_pnp_injection_changes_outputs(rng):
     from tclight_tpu.models.unet import UNet2DCondition, UNetConfig
 

@@ -22,6 +22,7 @@ def test_forward_interpolate_constant_flow():
     assert np.allclose(out[:, :2], 0.0)
 
 
+@pytest.mark.slow
 def test_memflow_step_and_memory(rng):
     cfg = MemFlowConfig.tiny()
     model = MemFlowNet(cfg)
@@ -40,6 +41,7 @@ def test_memflow_step_and_memory(rng):
     assert int(mem2.count) == 2
 
 
+@pytest.mark.slow
 def test_inference_core_streaming(rng):
     cfg = MemFlowConfig.tiny()
     model = MemFlowNet(cfg)
@@ -57,6 +59,7 @@ def test_inference_core_streaming(rng):
     assert core.memory is None
 
 
+@pytest.mark.slow
 def test_memory_ring_wraps(rng):
     cfg = MemFlowConfig.tiny()  # capacity 4
     model = MemFlowNet(cfg)

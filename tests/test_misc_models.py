@@ -29,6 +29,7 @@ def test_controlnet_registry_and_canny(rng):
         control_preprocess(frames, "bogus")
 
 
+@pytest.mark.slow
 def test_vgg_features_and_losses(rng):
     model = VGG16Features()
     x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))

@@ -22,6 +22,7 @@ def tiny_unet():
     return model, params, cfg
 
 
+@pytest.mark.slow
 def test_unet_forward_shapes(tiny_unet):
     model, params, cfg = tiny_unet
     x = jnp.ones((2, 16, 16, 8)) * 0.1
@@ -40,6 +41,7 @@ def test_unet_timestep_sensitivity(tiny_unet):
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5
 
 
+@pytest.mark.slow
 def test_unet_with_tome_banks():
     cfg = UNetConfig.tiny(in_channels=4)
     spec = ToMeSpec(n_frames=4, local_ratio=0.5, merge_global=True,
@@ -70,6 +72,7 @@ def test_unet_with_tome_banks():
     assert np.isfinite(np.asarray(out1)).all()
 
 
+@pytest.mark.slow
 def test_unet_tome_jit_compiles():
     cfg = UNetConfig.tiny(in_channels=4)
     spec = ToMeSpec(n_frames=4, local_ratio=0.5, merge_global=True)
@@ -91,6 +94,7 @@ def test_unet_tome_jit_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_shapes():
     cfg = VAEConfig.tiny()
     model = AutoencoderKL(cfg)
@@ -105,6 +109,7 @@ def test_vae_roundtrip_shapes():
     assert dec.shape == x.shape
 
 
+@pytest.mark.slow
 def test_clip_text_shapes():
     cfg = CLIPTextConfig.tiny()
     model = CLIPTextModel(cfg)

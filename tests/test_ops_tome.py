@@ -88,6 +88,7 @@ def test_merge_unmerge_roundtrip_replace(rng, align_batch):
         np.testing.assert_allclose(xr[bi, src_pos], dst_val, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_identical_frames_full_merge(rng):
     """ratio=1 on identical frames: restored == original."""
     b, f, t, c = 1, 4, 5, 4
@@ -100,6 +101,7 @@ def test_identical_frames_full_merge(rng):
     np.testing.assert_allclose(np.asarray(restored), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_recursive_merge_roundtrip(rng):
     b, f, t, c = 1, 8, 4, 6
     x = jnp.asarray(rng.standard_normal((b, f * t, c)).astype(np.float32))

@@ -42,6 +42,7 @@ def test_window_pallas_interpret_fwd(small, mode):
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_adjoint_matches_gather_grad(small):
     frames, flows = small
     tgt = frames[::-1]

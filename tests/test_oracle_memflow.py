@@ -84,6 +84,7 @@ def _build_ref(depth):
     return net, core
 
 
+@pytest.mark.slow
 def test_memflow_streaming_parity():
     from tclight_tpu.models.memflow_sk import (
         InferenceCoreSK,

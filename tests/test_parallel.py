@@ -44,6 +44,7 @@ def test_pad_plans_to_rounds():
     assert not valid.reshape(-1, 4)[n_real:].any()
 
 
+@pytest.mark.slow
 def test_parallel_denoise_covers_all_frames():
     """Every valid frame receives a noise prediction; padded slots leave
     zeros nowhere (all frames covered by the plan)."""
@@ -80,3 +81,67 @@ def test_parallel_denoise_covers_all_frames():
     assert np.isfinite(noises).all()
     # every frame was predicted (nonzero epsilon almost surely)
     assert (np.abs(noises).reshape(n, -1).max(axis=1) > 1e-6).all()
+
+
+def test_postopt_mesh_matches_single_device(rng):
+    """run_exposure_align/run_uvt produce the same result with and without
+    a mesh — ONE loss implementation, two execution layouts."""
+    from tclight_tpu.pipeline.postopt import (
+        PostOptConfig, run_exposure_align, run_uvt)
+
+    n, h, w = 8, 32, 32
+    frames = jnp.asarray(rng.uniform(0.2, 0.8, (n, h, w, 3)).astype(np.float32))
+    flows = jnp.asarray(rng.normal(0, 0.5, (n, h, w, 2)).astype(np.float32))
+    masks = jnp.ones((n, h, w), np.float32)
+    cfg = PostOptConfig(epochs_exposure=2, epochs=2, batch_size=4,
+                        ms_ssim_levels=2)
+    mesh = make_mesh(8, model_parallel=2)
+
+    a1, e1, h1, _ = run_exposure_align(frames, flows, masks, cfg, seed=3)
+    a2, e2, h2, _ = run_exposure_align(frames, flows, masks, cfg, seed=3,
+                                       mesh=mesh)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+
+    unq_inv = np.tile(np.arange(h * w, dtype=np.int32), n)
+    r1, l1, _ = run_uvt(a1, flows, masks, unq_inv, h * w, cfg, seed=3)
+    r2, l2, _ = run_uvt(a2, flows, masks, unq_inv, h * w, cfg, seed=3,
+                        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_generator_mesh_matches_single_device(tmp_path):
+    """The SAME run.py pipeline on a 1-device and an 8-device CPU mesh
+    yields matching outputs (SPMD partitioning of one graph)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_pipeline_e2e import make_config, make_synthetic_video
+
+    from tclight_tpu.config import ConfigDict
+    from tclight_tpu.data.dataparsers import VideoDataParser
+    from tclight_tpu.pipeline.generator import Generator
+    from tclight_tpu.pipeline.iclight import build_tiny_iclight
+
+    vid_dir, _ = make_synthetic_video(tmp_path, n=8)
+
+    def run(n_devices):
+        cfg = make_config(tmp_path, vid_dir)
+        cfg["post_opt"]["epochs_exposure"] = 1
+        cfg["post_opt"]["epochs"] = 1
+        if n_devices:
+            cfg["parallel"] = {"n_devices": n_devices, "model_parallel": 2}
+        models = build_tiny_iclight(seed=0, num_inference_steps=2)
+        parser = VideoDataParser(cfg["data"])
+        gen = Generator(models, cfg, data_parser=parser)
+        out = gen(None, str(tmp_path / f"out_{n_devices}"), list(range(8)))
+        return np.asarray(next(iter(out.values())))
+
+    ref = run(0)
+    mesh_out = run(8)
+    assert ref.shape == mesh_out.shape
+    np.testing.assert_allclose(ref, mesh_out, atol=2e-2)
+    assert np.abs(ref - mesh_out).mean() < 2e-3

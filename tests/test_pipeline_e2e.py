@@ -88,6 +88,7 @@ def test_end_to_end_multi_axis(tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_prompt_encoding_long_prompt():
     models = build_tiny_iclight(seed=0)
     cfg = ConfigDict({"generation": {"prompt": {"a": "x"}}, "seed": 0})
