@@ -37,8 +37,21 @@ def canny_preprocess(frames: np.ndarray, low: int = 100, high: int = 200) -> np.
     return np.stack(outs)
 
 
-def tile_preprocess(frames: np.ndarray) -> np.ndarray:
-    return frames.copy()
+def tile_preprocess(frames: np.ndarray, resample_rate: float = 1.0) -> np.ndarray:
+    """Down/up resample blur (controlnet_utils.py:47-50); identity at
+    rate 1.0 (the reference default)."""
+    if resample_rate == 1.0:
+        return frames.copy()
+    import cv2
+
+    n, h, w, _ = frames.shape
+    lo = (max(1, int(round(w * resample_rate))),
+          max(1, int(round(h * resample_rate))))
+    outs = []
+    for f in frames:
+        small = cv2.resize(f, lo, interpolation=cv2.INTER_LINEAR)
+        outs.append(cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR))
+    return np.stack(outs).astype(np.float32)
 
 
 def ip2p_preprocess(frames: np.ndarray) -> np.ndarray:
@@ -60,7 +73,7 @@ def control_preprocess(
     if control_type == "canny":
         return canny_preprocess(frames, **kw)
     if control_type == "tile":
-        return tile_preprocess(frames)
+        return tile_preprocess(frames, **kw)
     if control_type == "ip2p":
         return ip2p_preprocess(frames)
     if control_type in _MODEL_BACKED:

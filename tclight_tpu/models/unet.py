@@ -265,6 +265,8 @@ class UNet2DCondition(nn.Module):
         use_global: bool = False,
         pnp_attn: bool = False,
         pnp_conv: bool = False,
+        down_residuals: Optional[list] = None,
+        mid_residual: Optional[jnp.ndarray] = None,
     ):
         cfg = self.config
         ch = cfg.block_out_channels
@@ -312,6 +314,14 @@ class UNet2DCondition(nn.Module):
                 h = Downsample2D(ch[lvl], dtype=cfg.dtype, name=f"down_{lvl}_ds")(h)
                 skips.append(h)
 
+        # ControlNet residual injection (get_controlnet_kwargs,
+        # VidToMe utils.py:312-326): one residual per saved skip
+        if down_residuals is not None:
+            assert len(down_residuals) == len(skips), (
+                f"{len(down_residuals)} residuals vs {len(skips)} skips")
+            skips = [s + r.astype(s.dtype)
+                     for s, r in zip(skips, down_residuals)]
+
         # mid
         h = ResnetBlock2D(ch[-1], dtype=cfg.dtype, groups=cfg.norm_groups,
                           name="mid_res_0")(h, temb)
@@ -324,6 +334,8 @@ class UNet2DCondition(nn.Module):
             new_banks[key] = nb
         h = ResnetBlock2D(ch[-1], dtype=cfg.dtype, groups=cfg.norm_groups,
                           name="mid_res_1")(h, temb)
+        if mid_residual is not None:
+            h = h + mid_residual.astype(h.dtype)
 
         # up
         for lvl in reversed(range(n_levels)):

@@ -87,6 +87,10 @@ class ICLightModels:
     # jitted deterministic init): lets the post-opt offload DELETE device
     # params instead of fetching a 1.7 GB host mirror over the tunnel
     rebuild_params: Any = None
+    # optional ControlNet branch (init_model with control, VidToMe
+    # utils.py:49-55); residuals injected by UNet2DCondition
+    controlnet: Any = None
+    controlnet_params: Any = None
 
     @property
     def latent_scale(self) -> float:
@@ -199,6 +203,7 @@ def load_sd(
     sd_version: str = "1.5",
     num_inference_steps: int = 50,
     dtype=jnp.bfloat16,
+    control: str = "none",
 ) -> ICLightModels:
     """Generic SD pipeline factory for the non-IC-Light inversion/editing
     path (utils/VidToMe/utils.py init_model :19-67; SD 1.5/2.0/2.1; the
@@ -224,9 +229,23 @@ def load_sd(
         if np.issubdtype(np.asarray(a).dtype, np.floating) else jnp.asarray(a),
         p,
     )
+    controlnet = controlnet_params = None
+    if control not in ("none", "pnp", None):
+        from tclight_tpu.models.controlnet import load_controlnet
+
+        ckpt = model_dir / f"controlnet_{control}.safetensors"
+        if ckpt.exists():
+            controlnet, controlnet_params = load_controlnet(
+                ckpt, UNetConfig.sd15(in_channels=4, dtype=dtype))
+            controlnet_params = cast(controlnet_params)
+        else:
+            raise FileNotFoundError(
+                f"control={control} needs {ckpt} (a local control_v11* "
+                f"checkpoint converted to safetensors)")
     return ICLightModels(
         unet=unet, unet_params=cast(unet_params),
         vae=vae, vae_params=cast(vae_params),
+        controlnet=controlnet, controlnet_params=controlnet_params,
         text_encoder=text_encoder, text_params=text_params,
         tokenizer=tokenizer,
         # the editing path samples with plain DDIM updates
