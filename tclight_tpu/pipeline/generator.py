@@ -41,6 +41,14 @@ from tclight_tpu.utils.video_io import save_frames, save_video
 log = get_logger()
 
 
+def _resize_like(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Bilinear resize (N, h0, w0, C) -> (N, h, w, C) on host."""
+    import cv2
+
+    out = np.stack([cv2.resize(f, (w, h)) for f in np.asarray(x)])
+    return out[..., None] if out.ndim == 3 else out
+
+
 def _cfg_get(cfg, key, default=None):
     if cfg is None:
         return default
@@ -942,7 +950,18 @@ class Generator:
             # (tiny test stacks) so residuals land at latent resolution.
             from tclight_tpu.data.controlnet_utils import control_preprocess
 
-            ctrl = control_preprocess(frames, self.control)
+            model_fn = None
+            if self.control == "depth":
+                # DPT-backed depth annotator (controlnet_utils.py:63-74):
+                # per-frame normalized depth stacked to 3 channels
+                def model_fn(fr):
+                    d = np.asarray(self.prepare_depth(
+                        fr, (h // self.vae_factor, w // self.vae_factor),
+                        None))
+                    d = np.asarray(_resize_like(d, h, w))
+                    d = (d + 1.0) / 2.0  # [-1,1] -> [0,1]
+                    return np.repeat(d, 3, axis=-1).astype(np.float32)
+            ctrl = control_preprocess(frames, self.control, model_fn=model_fn)
             if self.vae_factor != 8:
                 import cv2
 
@@ -971,6 +990,12 @@ class Generator:
                 else:
                     bg_lat = jnp.zeros_like(concat_conds)
                 concat_conds = jnp.concatenate([concat_conds, bg_lat], axis=-1)
+        elif self.models.unet.config.in_channels == 5:
+            # sd-depth variant: the 5th channel is a normalized DPT depth
+            # map at latent resolution (prepare_depth, VidToMe
+            # utils.py:215-301)
+            concat_conds = self.prepare_depth(
+                frames, init_noise.shape[1:3], output_path)
         else:
             # generic SD path: no conditioning channels (zero-width concat)
             concat_conds = jnp.zeros(init_noise.shape[:3] + (0,))
@@ -1140,6 +1165,41 @@ class Generator:
             log.info("done [%s]: %.1fs total, %.2fs/frame", edit_name,
                      cost["total_time"], cost["sec_per_frame"])
         return results
+
+    def prepare_depth(self, frames, latent_hw, output_path):
+        """Depth channel for the sd-depth UNet, disk-cached like the
+        reference (work_dir/depth, VidToMe utils.py:217-242). The DPT
+        estimator loads from `generation.depth_ckpt`; tests may inject
+        `self.depth_fn(frames, latent_hw) -> (N, lh, lw, 1)` directly."""
+        cache = None
+        if output_path:
+            cache = (Path(output_path) / "depth" /
+                     f"depth_{len(frames)}_{latent_hw[0]}x{latent_hw[1]}.npy")
+            if cache.exists():
+                log.info("loaded depth maps from %s", cache)
+                return jnp.asarray(np.load(cache))
+        if getattr(self, "depth_fn", None) is not None:
+            depth = self.depth_fn(frames, latent_hw)
+        else:
+            from tclight_tpu.models.convert import load_torch_state_dict
+            from tclight_tpu.models.dpt import (
+                DPTConfig, DPTForDepthEstimation, convert_dpt,
+                prepare_depth_maps)
+
+            ckpt = _cfg_get(self.config.get("generation", {}), "depth_ckpt")
+            if not ckpt or not Path(str(ckpt)).exists():
+                raise FileNotFoundError(
+                    "sd-depth needs generation.depth_ckpt pointing at a "
+                    "local DPT checkpoint (transformers "
+                    "DPTForDepthEstimation state dict)")
+            cfg = DPTConfig.large()
+            model = DPTForDepthEstimation(cfg)
+            params = convert_dpt(load_torch_state_dict(ckpt), cfg)
+            depth = prepare_depth_maps(model, params, frames, latent_hw)
+        if cache is not None:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            np.save(cache, np.asarray(depth))
+        return depth
 
     def _load_inverted_latents(self, latents_path, frame_ids, init_noise):
         """Load `noisy_latents_{t0}` as init noise; for PnP, verify the

@@ -78,14 +78,36 @@ class Inverter:
         ids = jnp.asarray(np.asarray([ids], np.int32))
         return self.models.text_encoder.apply(self.models.text_params, ids)
 
-    def _unet_eps(self, params, x, t, cond):
+    def _prepare_depth(self, frames, latent_hw):
+        """Depth channel for the sd-depth variant (invert.py:293 path);
+        tests may inject `self.depth_fn`."""
+        if getattr(self, "depth_fn", None) is not None:
+            return self.depth_fn(frames, latent_hw)
+        from tclight_tpu.models.convert import load_torch_state_dict
+        from tclight_tpu.models.dpt import (
+            DPTConfig, DPTForDepthEstimation, convert_dpt, prepare_depth_maps)
+
+        gen = self.config.get("generation", {}) or {}
+        ckpt = gen.get("depth_ckpt")
+        if not ckpt or not Path(str(ckpt)).exists():
+            raise FileNotFoundError(
+                "sd-depth inversion needs generation.depth_ckpt")
+        cfg = DPTConfig.large()
+        model = DPTForDepthEstimation(cfg)
+        params = convert_dpt(load_torch_state_dict(ckpt), cfg)
+        return prepare_depth_maps(model, params, frames, latent_hw)
+
+    def _unet_eps(self, params, x, t, cond, depth=None):
         unet = self.models.unet
+        if depth is not None:
+            x = jnp.concatenate([x, depth.astype(x.dtype)], axis=-1)
         ctx = jnp.repeat(cond, x.shape[0], axis=0).astype(unet.config.dtype)
         eps, _ = unet.apply(params, x.astype(unet.config.dtype), t, ctx)
         return eps
 
     def ddim_inversion(self, latents: jnp.ndarray, cond: jnp.ndarray,
-                       save_path: str | Path) -> jnp.ndarray:
+                       save_path: str | Path,
+                       depth: jnp.ndarray | None = None) -> jnp.ndarray:
         """x0 latents -> noise via reversed DDIM (invert.py:151-174)."""
         sched = self.scheduler
         ts = sched.timesteps()
@@ -93,9 +115,9 @@ class Inverter:
         save_path.mkdir(parents=True, exist_ok=True)
 
         @jax.jit
-        def invert_step(params, cond, x, idx):
+        def invert_step(params, cond, x, idx, depth_b):
             t = jnp.asarray(ts)[idx].astype(jnp.float32)
-            eps = self._unet_eps(params, x, t, cond)
+            eps = self._unet_eps(params, x, t, cond, depth_b)
             return sched.step(eps, idx, x, inversion=True)
 
         x = latents
@@ -103,8 +125,9 @@ class Inverter:
         for i in reversed(range(len(ts))):  # low t -> high t
             outs = []
             for j in range(0, n, self.batch_size):
+                d_b = None if depth is None else depth[j : j + self.batch_size]
                 outs.append(invert_step(self.models.unet_params, cond,
-                                        x[j : j + self.batch_size], i))
+                                        x[j : j + self.batch_size], i, d_b))
             x = jnp.concatenate(outs, axis=0)
             t_now = float(ts[i])
             if self.save_intermediate and int(t_now) in self.timesteps_to_save:
@@ -112,23 +135,25 @@ class Inverter:
         np.save(latent_filename(save_path, float(ts[0])), np.asarray(x))
         return x
 
-    def ddim_sample(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    def ddim_sample(self, x: jnp.ndarray, cond: jnp.ndarray,
+                    depth: jnp.ndarray | None = None) -> jnp.ndarray:
         """Plain DDIM reconstruction (invert.py:176-213)."""
         sched = self.scheduler
         ts = sched.timesteps()
 
         @jax.jit
-        def sample_step(params, cond, x, idx):
+        def sample_step(params, cond, x, idx, depth_b):
             t = jnp.asarray(ts)[idx].astype(jnp.float32)
-            eps = self._unet_eps(params, x, t, cond)
+            eps = self._unet_eps(params, x, t, cond, depth_b)
             return sched.step(eps, idx, x)
 
         n = x.shape[0]
         for i in range(len(ts)):
             outs = []
             for j in range(0, n, self.batch_size):
+                d_b = None if depth is None else depth[j : j + self.batch_size]
                 outs.append(sample_step(self.models.unet_params, cond,
-                                        x[j : j + self.batch_size], i))
+                                        x[j : j + self.batch_size], i, d_b))
             x = jnp.concatenate(outs, axis=0)
         return x
 
@@ -154,9 +179,13 @@ class Inverter:
         frames = self.data_parser.load_video(frame_ids=frame_ids)
         cond = self._encode_text(self.prompt)
         latents = self.encode_imgs_batch(frames)
-        noisy = self.ddim_inversion(latents, cond, save_path)
+        depth = None
+        if self.models.unet.config.in_channels == 5:
+            depth = self._prepare_depth(
+                frames, (latents.shape[1], latents.shape[2]))
+        noisy = self.ddim_inversion(latents, cond, save_path, depth)
         if self.recon:
-            recon = self.ddim_sample(noisy, cond)
+            recon = self.ddim_sample(noisy, cond, depth)
             vae, params = self.models.vae, self.models.vae_params
             imgs = vae.apply(params, recon / self.models.latent_scale,
                              method=vae.decode)
