@@ -2,11 +2,13 @@
 
 Rebuild of cosmos1/models/guardrail/ (`GuardrailRunner` common/core.py:33,
 presets common/presets.py:28-77): a runner composes checkers; shipped
-checkers here are the blocklist (profanity + exact/lemmatized word match,
-blocklist/blocklist.py:218, pure python) and pluggable model-backed
-checkers (Aegis LlamaGuard, SigLIP video safety, RetinaFace blur) that
-activate when local checkpoints are provided — the zero-egress build keeps
-their interfaces and wiring.
+checkers: the blocklist (profanity + exact/lemmatized word match,
+blocklist/blocklist.py:218, pure python), the SigLIP-so400m + 7-class
+video content safety filter (video_content_safety_filter/, real Flax
+models in models/siglip.py, checkpoint-gated), the RetinaFace face-blur
+postprocessor (face_blur_filter/, models/retinaface.py), and the Aegis
+interface (a 7B LlamaGuard LoRA — interface-level by design, see
+PARITY.md).
 """
 
 from __future__ import annotations
@@ -98,23 +100,116 @@ class ModelBackedChecker:
 
 
 class AegisChecker(ModelBackedChecker):
+    """LlamaGuard-LoRA prompt checker (aegis/aegis.py:130). Interface-level:
+    the backing model is a full 7B LLM + PEFT adapter; wire `predict` with
+    any local classifier. Decision documented in PARITY.md."""
+
     name = "aegis"
 
 
+# class names for the 7-way video safety head
+# (video_content_safety_filter.py:34-42)
+SAFETY_CLASS_NAMES = {
+    0: "Safe", 1: "Sexual_Content", 2: "Violence", 3: "Drugs",
+    4: "Child_Abuse", 5: "Hate_and_Harassment", 6: "Self-Harm",
+}
+
+
 class VideoContentSafetyChecker(ModelBackedChecker):
+    """SigLIP-so400m encoder + 7-class safety head over sampled frames
+    (video_content_safety_filter.py:45-155). Expects a checkpoint dir with
+    `siglip_vision.safetensors` (transformers SiglipVisionModel sd) and
+    `safety_filter.pt` (the Cosmos classifier). Any non-'Safe' frame marks
+    the video unsafe."""
+
     name = "video-safety-siglip"
+
+    def _load(self):
+        if getattr(self, "_fn", None) is not None:
+            return True
+        if not self.available() or self.ckpt_dir is None:
+            return False
+        import jax
+        import jax.numpy as jnp
+
+        from tclight_tpu.models.convert import load_torch_state_dict
+        from tclight_tpu.models.siglip import (
+            SafetyClassifier, SiglipVisionConfig, SiglipVisionTower,
+            convert_safety_classifier, convert_siglip_vision)
+
+        d = Path(str(self.ckpt_dir))
+        vis = d / "siglip_vision.safetensors"
+        clf = d / "safety_filter.pt"
+        if not vis.exists() or not clf.exists():
+            return False
+        cfg = SiglipVisionConfig.so400m()
+        tower = SiglipVisionTower(cfg)
+        tower_params = convert_siglip_vision(load_torch_state_dict(vis))
+        head = SafetyClassifier(input_size=cfg.hidden_size, num_classes=7)
+        head_params = convert_safety_classifier(load_torch_state_dict(clf))
+        self._image_size = cfg.image_size
+
+        def fn(frames):
+            emb = tower.apply(tower_params, jnp.asarray(frames))
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return np.asarray(head.apply(head_params, emb))
+
+        self._fn = fn
+        return True
+
+    def __call__(self, frames) -> SafetyResult:
+        if self.predict is not None:
+            return self.predict(frames)
+        if not self._load():
+            return SafetyResult(True, f"{self.name}: no checkpoint, pass-through")
+        from tclight_tpu.models.siglip import preprocess_siglip
+
+        frames = np.asarray(frames)
+        # sample at 2 fps like the reference (is_safe_file sample_rate=2)
+        fps = getattr(self, "fps", 25.0)
+        step = max(1, int(fps / 2))
+        sel = frames[::step]
+        logits = self._fn(preprocess_siglip(sel, self._image_size))
+        classes = logits.argmax(-1)
+        for fi, cls in zip(range(0, len(frames), step), classes):
+            if int(cls) != 0:
+                return SafetyResult(
+                    False, f"frame {fi}: "
+                    f"{SAFETY_CLASS_NAMES.get(int(cls), 'Unknown')}")
+        return SafetyResult(True)
 
 
 class FaceBlurFilter(ModelBackedChecker):
-    """Postprocessor interface: blurs detected faces when a RetinaFace
-    checkpoint is wired; identity otherwise."""
+    """Postprocessor: pixelates RetinaFace detections
+    (face_blur_filter.py:89-187); identity without a checkpoint."""
 
     name = "face-blur"
 
+    def _load(self):
+        if getattr(self, "_detector", None) is not None:
+            return True
+        if not self.available() or self.ckpt_dir is None:
+            return False
+        ckpt = Path(str(self.ckpt_dir))
+        if ckpt.is_dir():
+            cands = list(ckpt.glob("*.pth")) + list(ckpt.glob("*.safetensors"))
+            if not cands:
+                return False
+            ckpt = cands[0]
+        from tclight_tpu.models.convert import load_torch_state_dict
+        from tclight_tpu.models.retinaface import (
+            RetinaFaceDetector, convert_retinaface)
+
+        params = convert_retinaface(load_torch_state_dict(ckpt))
+        self._detector = RetinaFaceDetector(params)
+        return True
+
     def process(self, frames: np.ndarray) -> np.ndarray:
-        if self.predict is None:
+        if self.predict is not None:
+            return self.predict(frames)
+        if not self._load():
             return frames
-        return self.predict(frames)
+        return self._detector.blur_faces(np.asarray(frames))
 
 
 class GuardrailRunner:
