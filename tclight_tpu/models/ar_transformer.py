@@ -21,12 +21,15 @@ parallel/mesh.shard_params for the 12B configs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from tclight_tpu.models.rope import RopeSpec, apply_rope_tables, build_rope_tables
 
 Dtype = Any
 
@@ -47,6 +50,9 @@ class ARConfig:
     # cross-attention (video2world variant) hooks
     cross_attn_layers: tuple = ()
     cross_dim: int = 0
+    # full RoPE family (models/rope.py): None keeps the default V1 1D RoPE
+    # at (rope_theta, max_seq_len); set for YaRN / RoPE v2 / 2D / 3D video
+    rope_spec: Any = None
 
     @property
     def hd(self) -> int:
@@ -77,6 +83,18 @@ class RMSNorm(nn.Module):
         var = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         out = x * jax.lax.rsqrt(var + self.eps).astype(x.dtype)
         return out * scale.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _rope_tables_for(cfg: "ARConfig"):
+    """(L, D, 2) cos/sin tables for the config's RoPE spec (the default
+    spec reproduces the legacy V1 1D behavior bit-exactly — test_rope.py
+    test_v1_1d_matches_legacy_apply)."""
+    spec = cfg.rope_spec or RopeSpec(
+        variant="v1", rope_dim="1D", theta=cfg.rope_theta,
+        max_position_embeddings=cfg.max_seq_len,
+    )
+    return build_rope_tables(spec, cfg.hd, cfg.max_seq_len)
 
 
 def rope_frequencies(head_dim: int, max_seq: int, theta: float) -> jnp.ndarray:
@@ -130,8 +148,9 @@ class GQAAttention(nn.Module):
                      name="wk")(x).reshape(b, s, cfg.n_kv_heads, hd)
         v = nn.Dense(cfg.n_kv_heads * hd, use_bias=False, dtype=cfg.dtype,
                      name="wv")(x).reshape(b, s, cfg.n_kv_heads, hd)
-        q = apply_rope(q, rope, positions)
-        k = apply_rope(k, rope, positions)
+        variant = cfg.rope_spec.variant if cfg.rope_spec is not None else "v1"
+        q = apply_rope_tables(q, rope, positions, variant)
+        k = apply_rope_tables(k, rope, positions, variant)
 
         if cache is not None:
             # static-shape cache update at `cur_len` (attention.py:180-188)
@@ -218,7 +237,7 @@ class Transformer(nn.Module):
         s = x.shape[1]
         if positions is None:
             positions = jnp.arange(s) + cur_len
-        rope = rope_frequencies(cfg.hd, cfg.max_seq_len, cfg.rope_theta)
+        rope = jnp.asarray(_rope_tables_for(cfg))
         new_caches = []
         for i, block in enumerate(self.blocks):
             cache = caches[i] if caches is not None else None
