@@ -142,11 +142,29 @@ def test_guardrails():
 
 
 def test_latent_diffusion_decoder():
+    """Token-conditioned decoder: generated latents depend on the AR token
+    stream (channel-concat conditioning, network.py:98-163)."""
     from tclight_tpu.cosmos.diffusion_decoder import build_tiny_decoder
 
     dec = build_tiny_decoder()
-    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 4))
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
-    out = dec(latents, ctx)
-    assert out.shape == latents.shape
-    assert np.isfinite(np.asarray(out)).all()
+    tokens_a = jnp.zeros((1, 4, 4, 4), jnp.int32)
+    tokens_b = jnp.full((1, 4, 4, 4), 7, jnp.int32)
+    out_a = dec(tokens_a, ctx, latent_shape=(4, 8, 8, 4))
+    assert out_a.shape == (1, 4, 8, 8, 4)
+    assert np.isfinite(np.asarray(out_a)).all()
+    # zero-init token embedder: conditioning starts neutral but the
+    # pathway must be live — perturb the embedder and expect different
+    # generations for different tokens
+    import jax as _jax
+
+    params = _jax.tree_util.tree_map(lambda a: a, dec.params)
+    emb = np.asarray(
+        params["params"]["token_embedder"]["embedding"])
+    emb = emb + np.random.default_rng(0).normal(0, 0.5, emb.size).reshape(
+        emb.shape).astype(emb.dtype)
+    params["params"]["token_embedder"]["embedding"] = jnp.asarray(emb)
+    dec.params = params
+    out_a2 = dec(tokens_a, ctx, latent_shape=(4, 8, 8, 4))
+    out_b = dec(tokens_b, ctx, latent_shape=(4, 8, 8, 4))
+    assert np.abs(np.asarray(out_a2) - np.asarray(out_b)).max() > 1e-5
