@@ -951,6 +951,12 @@ class Generator:
             from tclight_tpu.data.controlnet_utils import control_preprocess
 
             model_fn = None
+            if self.control in ("softedge", "scribble"):
+                ann = _cfg_get(gen_cfg, "annotator_ckpt")
+                if ann and Path(str(ann)).exists():
+                    from tclight_tpu.models.hed import softedge_model_fn
+
+                    model_fn = softedge_model_fn(ann)
             if self.control == "depth":
                 # DPT-backed depth annotator (controlnet_utils.py:63-74):
                 # per-frame normalized depth stacked to 3 channels
