@@ -32,9 +32,19 @@ def main(argv=None) -> int:
     sd_version = config.get("sd_version", "iclight")
     model_dir = config.get("model_dir")
     if model_dir and Path(str(model_dir)).exists():
-        mode = "fbc" if config.get_path("generation.background_cond") else "fc"
-        models = load_iclight(model_dir, mode=mode,
-                              num_inference_steps=config.get_path("generation.n_timesteps", 25))
+        if sd_version != "iclight":
+            # generic SD editing path (inversion/PnP/ControlNet/depth)
+            from tclight_tpu.pipeline.iclight import load_sd
+
+            models = load_sd(
+                model_dir, sd_version=str(sd_version),
+                num_inference_steps=config.get_path("generation.n_timesteps", 50),
+                control=str(config.get_path("generation.control", "none")),
+            )
+        else:
+            mode = "fbc" if config.get_path("generation.background_cond") else "fc"
+            models = load_iclight(model_dir, mode=mode,
+                                  num_inference_steps=config.get_path("generation.n_timesteps", 25))
     elif os.environ.get("TCLIGHT_TINY"):
         log.warning("no model_dir; using tiny random-weight models (TCLIGHT_TINY)")
         models = build_tiny_iclight(

@@ -171,24 +171,19 @@ def _apply_exposure(frames: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(out, 0.0, 1.0)
 
 
-def run_exposure_align(
-    frames: jnp.ndarray,       # (N, H, W, 3) in [0, 1]
-    past_flows: jnp.ndarray,   # (N, H, W, 2)
-    masks_bwd: jnp.ndarray,    # (N, H, W) or (N, H, W, 1) soft masks
-    cfg: PostOptConfig,
-    seed: int = 0,
-    warp_radius: int | None = None,
-    mesh=None,
-) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray, np.ndarray]:
-    """Optimize per-frame affine exposure, bake it in. Returns (aligned
-    frames, exposure (N,3,4), loss history, per-epoch wall seconds).
-    With `mesh`, the frame batch is sharded over the 'data' axis."""
-    n = frames.shape[0]
-    if masks_bwd.ndim == 3:
-        masks_bwd = masks_bwd[..., None]
-    exposure0 = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4)).astype(jnp.float32)
+# Compiled epoch functions cached across calls: a Generator serves many
+# prompts/videos per process, and jax.jit's cache keys on the function
+# object — rebuilding the closures every call would recompile (~tens of
+# seconds on the remote TPU toolchain) for identical shapes.
+_EPOCH_FN_CACHE: dict = {}
 
-    total_iters = max(cfg.epochs_exposure * n // cfg.batch_size, 1)
+
+def _exposure_epoch_builder(cfg: PostOptConfig, warp_radius, mesh,
+                            total_iters: int):
+    key = ("exposure", cfg, warp_radius, id(mesh) if mesh is not None else None,
+           total_iters)
+    if key in _EPOCH_FN_CACHE:
+        return _EPOCH_FN_CACHE[key]
     lr_fn = expon_lr_schedule(
         cfg.exposure_lr_init, cfg.exposure_lr_final,
         cfg.exposure_lr_delay_steps, cfg.exposure_lr_delay_mult, total_iters,
@@ -215,6 +210,64 @@ def run_exposure_align(
             body, (exposure, opt_state), (idxs_all, masks_all)
         )
         return exposure, opt_state, losses
+
+    _EPOCH_FN_CACHE[key] = (tx, run_epoch)
+    return tx, run_epoch
+
+
+def _uvt_epoch_builder(cfg: PostOptConfig, warp_radius, mesh, h: int, w: int,
+                       feature_lr: float):
+    key = ("uvt", cfg, warp_radius, id(mesh) if mesh is not None else None,
+           h, w, feature_lr)
+    if key in _EPOCH_FN_CACHE:
+        return _EPOCH_FN_CACHE[key]
+    tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
+
+    def loss_fn(features, frames, past_flows, masks_bwd, tables, idxs, bmask):
+        return uvt_loss(features, frames, past_flows, masks_bwd, tables,
+                        idxs, bmask, cfg, warp_radius, h, w, mesh)
+
+    @jax.jit
+    def run_epoch(features, opt_state, frames, past_flows, masks_bwd,
+                  tables, idxs_all, masks_all):
+        def body(carry, inp):
+            features, opt_state = carry
+            idxs, bmask = inp
+            loss, grads = jax.value_and_grad(loss_fn)(
+                features, frames, past_flows, masks_bwd, tables,
+                idxs, bmask)
+            updates, opt_state = tx.update(grads, opt_state, features)
+            features = optax.apply_updates(features, updates)
+            return (features, opt_state), loss
+
+        (features, opt_state), losses = jax.lax.scan(
+            body, (features, opt_state), (idxs_all, masks_all)
+        )
+        return features, opt_state, losses
+
+    _EPOCH_FN_CACHE[key] = (tx, run_epoch)
+    return tx, run_epoch
+
+
+def run_exposure_align(
+    frames: jnp.ndarray,       # (N, H, W, 3) in [0, 1]
+    past_flows: jnp.ndarray,   # (N, H, W, 2)
+    masks_bwd: jnp.ndarray,    # (N, H, W) or (N, H, W, 1) soft masks
+    cfg: PostOptConfig,
+    seed: int = 0,
+    warp_radius: int | None = None,
+    mesh=None,
+) -> tuple[jnp.ndarray, jnp.ndarray, np.ndarray, np.ndarray]:
+    """Optimize per-frame affine exposure, bake it in. Returns (aligned
+    frames, exposure (N,3,4), loss history, per-epoch wall seconds).
+    With `mesh`, the frame batch is sharded over the 'data' axis."""
+    n = frames.shape[0]
+    if masks_bwd.ndim == 3:
+        masks_bwd = masks_bwd[..., None]
+    exposure0 = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4)).astype(jnp.float32)
+
+    total_iters = max(cfg.epochs_exposure * n // cfg.batch_size, 1)
+    tx, run_epoch = _exposure_epoch_builder(cfg, warp_radius, mesh, total_iters)
 
     rng = np.random.default_rng(seed)
     exposure = exposure0
@@ -447,6 +500,16 @@ def uvt_loss(features, frames, past_flows, masks_bwd, tables, idxs, bmask,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "p_pad"))
+def _palette_chunk_sums(frames, tables, idx, cot_mask, h, w, p_pad):
+    """Per-track color sums for one frame chunk via the palette-gather
+    adjoint (memory-bounded scatter-mean init, generate.py:477-481)."""
+    feats0 = jnp.zeros((p_pad, 3), jnp.float32)
+    _, vjp = jax.vjp(lambda f: uvt_gather(f, tables, idx), feats0)
+    cot = frames[idx].reshape(idx.shape[0], h * w, 3) * cot_mask[:, None, None]
+    return vjp(cot)[0]
+
+
 def run_uvt(
     frames: jnp.ndarray,       # (N, H, W, 3) exposure-aligned edited frames
     past_flows: jnp.ndarray,
@@ -488,15 +551,8 @@ def run_uvt(
     counts = jnp.asarray(np.maximum(
         np.bincount(inv_np.reshape(-1), minlength=p_pad), 1.0
     ).astype(np.float32))
-    feats0 = jnp.zeros((p_pad, 3), jnp.float32)
     init_bs = min(16, n)
     sums = jnp.zeros((p_pad, 3), jnp.float32)
-
-    @jax.jit
-    def chunk_sums(frames, tables, idx, cot_mask):
-        _, vjp = jax.vjp(lambda f: gather_raw(f, tables, idx), feats0)
-        cot = frames[idx].reshape(len(idx), h * w, 3) * cot_mask[:, None, None]
-        return vjp(cot)[0]
 
     for c0 in range(0, n, init_bs):
         sel = np.arange(c0, min(c0 + init_bs, n))
@@ -506,33 +562,12 @@ def run_uvt(
         cot_mask = jnp.asarray(
             np.concatenate([np.ones(len(sel)), np.zeros(pad)])
             .astype(np.float32))
-        sums = sums + chunk_sums(frames, tables, idx, cot_mask)
+        sums = sums + _palette_chunk_sums(frames, tables, idx, cot_mask,
+                                          h, w, p_pad)
     features = RGB2SH(sums / counts[:, None])
     feature_lr = cfg.feature_lr * cfg.batch_size / n
-    tx = optax.adam(learning_rate=feature_lr, eps=1e-15)
-
-    def loss_fn(features, frames, past_flows, masks_bwd, tables,
-                idxs, bmask):
-        return uvt_loss(features, frames, past_flows, masks_bwd, tables,
-                        idxs, bmask, cfg, warp_radius, h, w, mesh)
-
-    @jax.jit
-    def run_epoch(features, opt_state, frames, past_flows, masks_bwd,
-                  tables, idxs_all, masks_all):
-        def body(carry, inp):
-            features, opt_state = carry
-            idxs, bmask = inp
-            loss, grads = jax.value_and_grad(loss_fn)(
-                features, frames, past_flows, masks_bwd, tables,
-                idxs, bmask)
-            updates, opt_state = tx.update(grads, opt_state, features)
-            features = optax.apply_updates(features, updates)
-            return (features, opt_state), loss
-
-        (features, opt_state), losses = jax.lax.scan(
-            body, (features, opt_state), (idxs_all, masks_all)
-        )
-        return features, opt_state, losses
+    tx, run_epoch = _uvt_epoch_builder(cfg, warp_radius, mesh, h, w,
+                                       feature_lr)
 
     rng = np.random.default_rng(seed)
     opt_state = tx.init(features)
