@@ -30,3 +30,18 @@ def rng():
 @pytest.fixture(scope="session")
 def cpu_devices():
     return jax.devices("cpu")
+
+
+@pytest.fixture
+def eval_cli():
+    """The repo's evaluate.py loaded by explicit path: a bare `import
+    evaluate` is cwd-dependent and can collide with the HF `evaluate`
+    package when another test chdirs."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "evaluate.py"
+    spec = importlib.util.spec_from_file_location("tclight_evaluate", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

@@ -77,11 +77,10 @@ def test_frame_lpips_wiring(rng):
     assert diff > same
 
 
-def test_evaluate_cli_full_rows(tmp_path, rng):
+def test_evaluate_cli_full_rows(tmp_path, rng, eval_cli):
     """CLI emits psnr/ssim rows alongside warp-error without any ckpts."""
     import yaml
 
-    import evaluate as eval_cli
     from tclight_tpu.utils.video_io import save_video
 
     run_dir = tmp_path / "run"

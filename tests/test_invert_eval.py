@@ -61,13 +61,12 @@ def test_pnp_injection_changes_outputs(rng):
 
 
 @pytest.mark.slow
-def test_evaluate_cli(tmp_path, rng):
+def test_evaluate_cli(tmp_path, rng, eval_cli):
     """evaluate.py over a synthetic run dir -> result.txt in reference
     format."""
     import yaml
 
     from tclight_tpu.utils.video_io import save_video
-    import evaluate as eval_cli
 
     run_dir = tmp_path / "run"
     run_dir.mkdir()
