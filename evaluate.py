@@ -94,6 +94,14 @@ def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None,
     if lpips_obj is not None:
         scores["frame-lpips"] = frame_lpips(edited, source, lpips_obj)
 
+    # record which checkpoint-gated metric groups did NOT run, so a
+    # reference-vs-repo comparison can't silently mix metric sets
+    skipped = [name for name, on in (
+        ("clip", clip_embed is not None), ("pick-score", pick_embed is not None),
+        ("frame-lpips", lpips_obj is not None)) if not on]
+    if skipped:
+        scores["zz_skipped_metrics"] = ",".join(skipped)
+
     if eval_cost:
         spf = cfg.get("sec_per_frame")
         if spf:
@@ -108,7 +116,9 @@ def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None,
 def print_and_save_results(run_dir: Path, scores: dict) -> None:
     lines = [f"{run_dir.name}"]
     for metric, score in sorted(scores.items()):
-        if "warp-error-l1" in metric:
+        if isinstance(score, str):
+            lines.append(f"{metric}: {score}")
+        elif "warp-error-l1" in metric:
             lines.append(f"{metric}: {score * 1e5:.2f}")
         elif "warp-error-l2" in metric or "warp-error-ssim" in metric:
             lines.append(f"{metric}: {score * 100:.2f}")
