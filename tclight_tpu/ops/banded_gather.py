@@ -1,0 +1,266 @@
+"""Banded (windowed) gather: the TPU-native fast path for the UVT palette.
+
+XLA lowers a large row gather (`table[idx]` with millions of arbitrary
+indices) at a row-rate of ~95M rows/s on v5e — ~100x below HBM bandwidth
+(measured: 117 ms for a 16-frame palette render, docs/PERF_NOTES.md).
+But the UVT index structure is special: per frame, pixel track-ids are
+NEAR-MONOTONE (tracks are created in scanline order and survive along
+flow), so consecutive outputs read from a narrow moving window of the
+table. This module exploits that:
+
+    out[b, i] = table[starts[b] + offs[b, i]],   0 <= offs < W (static)
+
+The table is packed as (P/128, 8, 128) — id i at [i // 128, channel,
+i % 128] — so a 128-aligned window is ONE CONTIGUOUS DMA and every
+128-id tile lands as a single (8, 128) vreg. Each grid step DMAs one
+segment covering `group` consecutive blocks (double-buffered across
+steps); outputs are selected with Mosaic's `tpu.dynamic_gather` (lane
+shuffles within one vreg), tiled over (window-tile x output-tile) pairs —
+pure VPU work, exact in f32.
+
+`plan_banded_gather` builds (seg_starts, starts, offs) host-side from an
+index array and reports whether the banded precondition holds; callers
+fall back to the plain XLA gather otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["plan_banded_gather", "pack_table", "banded_gather",
+           "banded_gather_xla"]
+
+_CPAD = 8      # sublane-padded channel count of the packed table
+_TILE = 128    # ids per packed tile (= vreg lanes)
+
+
+def plan_banded_gather(indices: np.ndarray, block: int = 512,
+                       window: int = 2048, group: int = 8):
+    """indices (..., L) int -> (seg_starts (NG,), starts (NB,),
+    offs (NB, block), ok).
+
+    Flattens leading dims; pads L up to a block*group multiple repeating
+    the last index. `starts` are 128-aligned tile starts (in ids);
+    `seg_starts` are per-group segment starts. ok=False when any block's
+    aligned span exceeds `window` or any group's segment exceeds the
+    static segment length `seg_tiles(window, block, group)` (caller
+    should use the XLA fallback)."""
+    idx = np.asarray(indices, np.int64)
+    # plan each leading row (frame) independently: ids are near-monotone
+    # WITHIN a frame; a group straddling two frames would span the whole
+    # table. Each row pads to a block*group multiple (uniform, so callers
+    # reshape (R, row_blocks(L)*block) and slice [:, :L]).
+    #
+    # Negative indices are MASKED entries: excluded from the window
+    # planning, emitted as offs=-1, and produced as 0 rows by the kernel
+    # (offs-lo stays negative for every window tile, so `hit` never
+    # fires).  Callers use them for absent tracks in the adjoint plan.
+    rows = idx.reshape(-1, idx.shape[-1]) if idx.ndim > 1 else idx[None]
+    L = rows.shape[1]
+    pad = (-L) % (block * group)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.full((rows.shape[0], pad), -1, np.int64)], axis=1)
+    blocks = rows.reshape(-1, block)
+    live = blocks >= 0
+    any_live = live.any(axis=1)
+    bmax = np.where(live, blocks, -1).max(axis=1)
+    bmin = np.where(live, blocks, np.int64(2**62)).min(axis=1)
+    bmin = np.where(any_live, bmin, 0)
+    bmax = np.where(any_live, bmax, 0)
+    lo = (bmin // _TILE) * _TILE
+    span = np.where(any_live, bmax - lo, 0)
+    ok = bool((span < window).all())
+    # Dead blocks (all entries masked — row-end padding, absent tracks)
+    # have no window of their own; give them the previous live block's
+    # window start so they don't blow up the per-group segment span.
+    nb_row = rows.shape[1] // block
+    alive2 = any_live.reshape(-1, nb_row)
+    prev = np.where(alive2, np.arange(nb_row)[None, :], -1)
+    prev = np.maximum.accumulate(prev, axis=1)
+    nxt = np.where(alive2, np.arange(nb_row)[None, :], nb_row)
+    nxt = np.minimum.accumulate(nxt[:, ::-1], axis=1)[:, ::-1]
+    fill = np.where(prev >= 0, prev, np.minimum(nxt, nb_row - 1))
+    lo2 = lo.reshape(-1, nb_row)
+    lo = np.take_along_axis(lo2, fill, axis=1).reshape(-1)
+    offs = np.where(live, blocks - lo[:, None], -1)
+    seg = lo.reshape(-1, group)
+    seg_starts = seg.min(axis=1)
+    seg_span = (seg.max(axis=1) - seg_starts) + window
+    ok = ok and bool((seg_span <= seg_tiles(window, block, group)
+                      * _TILE).all())
+    return (seg_starts.astype(np.int32), lo.astype(np.int32),
+            offs.astype(np.int32), ok)
+
+
+def row_blocks(length: int, block: int = 512, group: int = 8) -> int:
+    """Blocks the planner emits per leading row of a (R, length) index
+    array (each row pads to a block*group multiple)."""
+    pad = (-length) % (block * group)
+    return (length + pad) // block
+
+
+def seg_tiles(window: int, block: int, group: int, slope: float = 2.0
+              ) -> int:
+    """Static per-group segment length in 128-id tiles: covers `group`
+    block windows whose starts advance at up to `slope` ids per output."""
+    ids = int(group * block * slope) + window + _TILE
+    return (ids + _TILE - 1) // _TILE
+
+
+def pack_table(table, window: int = 2048, block: int = 512,
+               group: int = 8):
+    """(P, C<=8) -> (P_pad/128, 8, 128) f32 with a segment-length tail
+    margin so every planned segment DMA is in-bounds."""
+    p, c = table.shape
+    assert c <= _CPAD, c
+    nt = (p + _TILE - 1) // _TILE + seg_tiles(window, block, group)
+    out = jnp.zeros((nt * _TILE, _CPAD), jnp.float32)
+    out = out.at[:p, :c].set(table.astype(jnp.float32))
+    return out.reshape(nt, _TILE, _CPAD).transpose(0, 2, 1)
+
+
+def plan_banded_gather_rows(indices: np.ndarray, block: int = 512,
+                            window: int = 2048, group: int = 8):
+    """Per-row plans for an (R, L) index array: (seg (R, NG),
+    starts (R, NB), offs (R, NB, block), ok)."""
+    r, length = indices.shape
+    seg, starts, offs, ok = plan_banded_gather(indices, block, window, group)
+    nb = row_blocks(length, block, group)
+    return (seg.reshape(r, -1), starts.reshape(r, nb),
+            offs.reshape(r, nb, block), ok)
+
+
+def frame_tiles(length: int) -> int:
+    """Packed 128-id tiles per frame row of `pack_frames`."""
+    return (length + _TILE - 1) // _TILE
+
+
+def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8):
+    """(B, L, C<=8) -> (B*frame_tiles(L) + margin, 8, 128) f32: each frame
+    packed contiguously at tile base b*frame_tiles(L), plus a tail margin
+    so every planned segment DMA stays in-bounds.  Gather plans built
+    per-frame address frame b's id i at absolute id b*frame_tiles(L)*128+i
+    (add the base to `starts` and `seg_starts`)."""
+    b, l, c = x.shape
+    assert c <= _CPAD, c
+    ntf = frame_tiles(l)
+    margin = seg_tiles(window, block, group)
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (0, ntf * _TILE - l), (0, _CPAD - c)))
+    flat = xp.reshape(b * ntf, _TILE, _CPAD)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((margin, _TILE, _CPAD), jnp.float32)], axis=0)
+    return flat.transpose(0, 2, 1)
+
+
+def _select(wref, t0, offs, window):
+    """Select (BL, 8) from packed window tiles wref[t0 + j] (8, 128) at
+    offsets offs (1, BL) via vreg-tiled tpu.dynamic_gather."""
+    bl = offs.shape[1]
+    offs8 = jnp.broadcast_to(offs, (_CPAD, bl))          # (8, BL)
+    out = jnp.zeros((_CPAD, bl), jnp.float32)
+    for j in range(window // _TILE):
+        src = wref[t0 + j]                               # (8, 128)
+        local = offs8 - j * _TILE
+        hit = (local >= 0) & (local < _TILE)
+        idx = jnp.clip(local, 0, _TILE - 1)
+        cols = []
+        for m in range(bl // _TILE):
+            sl = slice(m * _TILE, (m + 1) * _TILE)
+            cols.append(jnp.take_along_axis(
+                src, idx[:, sl], axis=1, mode="promise_in_bounds"))
+        sel = jnp.concatenate(cols, axis=1)              # (8, BL)
+        out = jnp.where(hit, sel, out)
+    return out.T                                         # (BL, 8)
+
+
+def _kernel(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win, sem,
+            *, window):
+    # One contiguous segment DMA per grid step covers `group` block
+    # windows, double-buffered: step g waits on the copy started at step
+    # g-1 and immediately issues step g+1's.
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    group = offs_ref.shape[0]
+    segn = win.shape[1]
+    slot = jax.lax.rem(g, 2)
+
+    def seg_dma(gi, s):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(seg_ref[gi] // _TILE, segn)], win.at[s],
+            sem.at[s])
+
+    @pl.when(g == 0)
+    def _first():
+        seg_dma(0, 0).start()
+
+    @pl.when(g + 1 < ng)
+    def _next():
+        seg_dma(g + 1, 1 - slot).start()
+
+    seg_dma(g, slot).wait()
+    seg0 = seg_ref[g]
+    for u in range(group):
+        t0 = (starts_ref[g * group + u] - seg0) // _TILE
+        out_ref[u] = _select(win.at[slot], t0, offs_ref[u][None], window)
+
+
+try:  # pallas TPU imports (unavailable on some CPU-only builds)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # noqa: BLE001
+    _HAVE_PALLAS = False
+
+
+@functools.partial(jax.jit, static_argnames=("window", "group",
+                                             "interpret"))
+def _banded_gather_call(packed, seg_starts, starts, offs,
+                        window: int = 2048, group: int = 8,
+                        interpret: bool = False):
+    nb, bl = offs.shape
+    assert nb % group == 0, (nb, group)
+    segn = seg_tiles(window, bl, group)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb // group,),
+        in_specs=[
+            pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((group, bl, _CPAD),
+                               lambda g, seg, starts: (g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, segn, _CPAD, _TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, window=window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, bl, _CPAD), jnp.float32),
+        interpret=interpret,
+    )(seg_starts, starts, offs, packed)
+
+
+def banded_gather_xla(table, starts, offs):
+    """Reference/fallback: plain gather through the banded plan
+    (table row-major (P, C)); masked entries (offs < 0) produce 0 rows."""
+    idx = jnp.maximum(starts[:, None] + offs, 0)
+    out = table[idx].astype(jnp.float32)
+    return jnp.where((offs >= 0)[..., None], out, 0.0)
+
+
+def banded_gather(packed, seg_starts, starts, offs, channels: int = 3,
+                  window: int = 2048, group: int = 8,
+                  interpret: bool = False):
+    """packed (NT, 8, 128) -> (NB, BL, channels) f32 per the plan."""
+    out = _banded_gather_call(packed, seg_starts, starts, offs, window,
+                              group, interpret)
+    return out[..., :channels]

@@ -233,6 +233,11 @@ def window_warp_pallas(
             pltpu.VMEM((2, rows_win, w_win), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the halo window + rolled copies exceed the conservative 16 MB
+        # scoped-vmem default once radius approaches the 128 px cap; v5e
+        # has 128 MB VMEM — let this kernel use up to half of it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xt, ft)
     return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1)).astype(x.dtype)
