@@ -39,7 +39,8 @@ _TILE = 128    # ids per packed tile (= vreg lanes)
 
 
 def plan_banded_gather(indices: np.ndarray, block: int = 512,
-                       window: int = 2048, group: int = 8):
+                       window: int = 2048, group: int = 8,
+                       max_ovf_frac: float = 0.0):
     """indices (..., L) int -> (seg_starts (NG,), starts (NB,),
     offs (NB, block), ok).
 
@@ -48,8 +49,26 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     `seg_starts` are per-group segment starts. ok=False when any block's
     aligned span exceeds `window` or any group's segment exceeds the
     static segment length `seg_tiles(window, block, group)` (caller
-    should use the XLA fallback)."""
-    idx = np.asarray(indices, np.int64)
+    should use the XLA fallback).
+
+    With `max_ovf_frac > 0` the plan is ROBUST: each block picks the
+    better of (aligned-min, median-centered) window and marks the
+    entries it cannot cover as overflow (offs=-1 -> the kernel emits a
+    zero row; the caller patches them exactly with a plain XLA
+    gather/scatter — see postopt's banded tables).  ok then requires the
+    overflow FRACTION (of live entries) to stay under the threshold
+    instead of every block spanning a single window.  This is what makes
+    the fast path apply to real tracked ids, where `get_flowid`'s
+    freshly-created tracks (scanline-ordered per creation frame, but far
+    from the frame-0 id range) mix a few far-band entries into otherwise
+    near-monotone scanline blocks."""
+    idx = np.asarray(indices)
+    # int32 whenever ids + window fit: this numpy's int64 elementwise
+    # path (np.where in particular) is 10-30x slower, and the planner
+    # runs per video on the host
+    big = int(idx.max(initial=0)) + window + _TILE >= 2**31
+    idx = idx.astype(np.int64 if big else np.int32, copy=False)
+    sentinel = np.iinfo(idx.dtype).max // 2
     # plan each leading row (frame) independently: ids are near-monotone
     # WITHIN a frame; a group straddling two frames would span the whole
     # table. Each row pads to a block*group multiple (uniform, so callers
@@ -64,17 +83,31 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     pad = (-L) % (block * group)
     if pad:
         rows = np.concatenate(
-            [rows, np.full((rows.shape[0], pad), -1, np.int64)], axis=1)
+            [rows, np.full((rows.shape[0], pad), -1, idx.dtype)], axis=1)
     blocks = rows.reshape(-1, block)
     live = blocks >= 0
     any_live = live.any(axis=1)
-    bmax = np.where(live, blocks, -1).max(axis=1)
-    bmin = np.where(live, blocks, np.int64(2**62)).min(axis=1)
+    bmax = np.max(blocks, axis=1, where=live, initial=-1)
+    bmin = np.min(blocks, axis=1, where=live, initial=sentinel)
     bmin = np.where(any_live, bmin, 0)
     bmax = np.where(any_live, bmax, 0)
     lo = (bmin // _TILE) * _TILE
-    span = np.where(any_live, bmax - lo, 0)
-    ok = bool((span < window).all())
+    if max_ovf_frac > 0.0:
+        # robust per-block window: aligned-min vs median-centered, keep
+        # whichever covers more live entries; the rest becomes overflow
+        # (np.partition = O(n) median, ~10x cheaper than np.median's sort)
+        med = np.partition(np.where(live, blocks, bmin[:, None]),
+                           block // 2, axis=1)[:, block // 2]
+        lo_med = np.maximum((med // _TILE) * _TILE - window // 2, 0)
+        cov_min = (live & (blocks >= lo[:, None])
+                   & (blocks < lo[:, None] + window)).sum(axis=1)
+        cov_med = (live & (blocks >= lo_med[:, None])
+                   & (blocks < lo_med[:, None] + window)).sum(axis=1)
+        lo = np.where(cov_med > cov_min, lo_med, lo)
+        ok = True  # decided at the end from the final overflow fraction
+    else:
+        span = np.where(any_live, bmax - lo, 0)
+        ok = bool((span < window).all())
     # Dead blocks (all entries masked — row-end padding, absent tracks)
     # have no window of their own; give them the previous live block's
     # window start so they don't blow up the per-group segment span.
@@ -87,12 +120,36 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     fill = np.where(prev >= 0, prev, np.minimum(nxt, nb_row - 1))
     lo2 = lo.reshape(-1, nb_row)
     lo = np.take_along_axis(lo2, fill, axis=1).reshape(-1)
-    offs = np.where(live, blocks - lo[:, None], -1)
+    segn_ids = seg_tiles(window, block, group) * _TILE
+    if max_ovf_frac > 0.0:
+        # groups whose windows span more than one DMA segment (id bands
+        # jumping WITHIN a group, e.g. the adjoint plan at track-creation
+        # generation boundaries): anchor the segment at the group's
+        # median window and demote escaping blocks entirely to overflow
+        lo_g = lo.reshape(-1, group)
+        viol = (lo_g.max(axis=1) - lo_g.min(axis=1)) + window > segn_ids
+        if viol.any():
+            anchor = np.partition(lo_g, group // 2, axis=1)[:, group // 2]
+            fit = ((lo_g >= anchor[:, None])
+                   & (lo_g + window <= anchor[:, None] + segn_ids))
+            demote = (viol[:, None] & ~fit).reshape(-1)
+            lo = np.where(demote, np.repeat(anchor, group), lo)
+        in_win = (live & (blocks >= lo[:, None])
+                  & (blocks < lo[:, None] + window))
+        offs = np.where(in_win, blocks - lo[:, None], -1)
+        ovf_mask = live & ~in_win
+        n_live = int(live.sum())
+        ok = int(ovf_mask.sum()) <= max_ovf_frac * max(n_live, 1)
+    else:
+        offs = np.where(live, blocks - lo[:, None], -1)
+        ovf_mask = None
     seg = lo.reshape(-1, group)
     seg_starts = seg.min(axis=1)
     seg_span = (seg.max(axis=1) - seg_starts) + window
-    ok = ok and bool((seg_span <= seg_tiles(window, block, group)
-                      * _TILE).all())
+    ok = bool(ok) and bool((seg_span <= segn_ids).all())
+    if max_ovf_frac > 0.0:
+        return (seg_starts.astype(np.int32), lo.astype(np.int32),
+                offs.astype(np.int32), ok, ovf_mask)
     return (seg_starts.astype(np.int32), lo.astype(np.int32),
             offs.astype(np.int32), ok)
 
@@ -133,6 +190,35 @@ def plan_banded_gather_rows(indices: np.ndarray, block: int = 512,
     nb = row_blocks(length, block, group)
     return (seg.reshape(r, -1), starts.reshape(r, nb),
             offs.reshape(r, nb, block), ok)
+
+
+def plan_banded_gather_rows_robust(indices: np.ndarray, block: int = 512,
+                                   window: int = 2048, group: int = 8,
+                                   max_ovf_frac: float = 0.08):
+    """Robust per-row plans: (seg (R, NG), starts (R, NB),
+    offs (R, NB, block), ovf_pos (R, K), ovf_ids (R, K), ok).
+
+    Entries a block's chosen window cannot cover are emitted as overflow:
+    `ovf_pos` holds their position within the row (pad -1), `ovf_ids`
+    the index value they read (pad 0); the kernel produces zero rows for
+    them (offs=-1) and the caller patches exactly.  K = max overflow
+    count over rows."""
+    r, length = indices.shape
+    seg, starts, offs, ok, ovf_mask = plan_banded_gather(
+        indices, block, window, group, max_ovf_frac=max_ovf_frac)
+    nb = row_blocks(length, block, group)
+    lpad = nb * block
+    ovf = ovf_mask.reshape(r, lpad)[:, :length]
+    idx = np.asarray(indices)
+    pos_list = [np.nonzero(ovf[i])[0] for i in range(r)]
+    k = max((len(p) for p in pos_list), default=0)
+    ovf_pos = np.full((r, k), -1, np.int32)
+    ovf_ids = np.zeros((r, k), np.int32)
+    for i, p in enumerate(pos_list):
+        ovf_pos[i, : len(p)] = p
+        ovf_ids[i, : len(p)] = idx[i, p]
+    return (seg.reshape(r, -1), starts.reshape(r, nb),
+            offs.reshape(r, nb, block), ovf_pos, ovf_ids, ok)
 
 
 def frame_tiles(length: int) -> int:

@@ -144,12 +144,18 @@ def _warp_kernel(x_hbm, f_hbm, o_ref, xw, fw, sems, *,
     fy_full, fx_full = fw[1], fw[0]
     n_lanes = fy_full.shape[-1]
 
+    # sublane-aligned row count kept after each dy roll: the inner dx
+    # rolls then shuffle (tile_rows, w_win) instead of the full halo
+    # window (rows_win, w_win) — a (1 + 2rh/tile_h)x cut of the
+    # inner-loop VPU work (5x at the 128 px radius cap)
+    tile_rows = _ceil_to(tile_h, 8)
+
     def body_y(dy, acc):
         dyi = dy + rh
-        xs_y = [pltpu.roll(xc, n_rows - dyi, 0) for xc in xs_full]
+        xs_y = [pltpu.roll(xc, n_rows - dyi, 0)[:tile_rows] for xc in xs_full]
         if adjoint:
-            fy_y = pltpu.roll(fy_full, n_rows - dyi, 0)
-            fx_y = pltpu.roll(fx_full, n_rows - dyi, 0)
+            fy_y = pltpu.roll(fy_full, n_rows - dyi, 0)[:tile_rows]
+            fx_y = pltpu.roll(fx_full, n_rows - dyi, 0)[:tile_rows]
 
         def body_x(dx, acc):
             dxi = dx + rh

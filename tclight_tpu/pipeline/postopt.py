@@ -382,19 +382,26 @@ _DENSE_MAP_MAX_BYTES = int(5e8)
 # inside scanline blocks, which breaks the single-window invariant).
 _BANDED_PLAN_MAX_BYTES = int(4e8)
 
+# single-slot cache of built UVT tables (see build_uvt_tables docstring)
+_UVT_TABLE_CACHE: dict = {}
+
 
 def _int_zero_like(shape):
     return np.zeros(shape, dtype=jax.dtypes.float0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _palette_gather_banded(dims, features, fseg, fst, foff,
-                           bseg, bst, boff, ovf_pos, ovf_ids):
+def _palette_gather_banded(dims, features, fseg, fst, foff, fovf_pos,
+                           fovf_ids, bseg, bst, boff, ovf_pos, ovf_ids):
     """features (P, 3) -> (B, HW, 3) via per-frame banded window gathers;
-    the adjoint is a track-major banded gather of the cotangent through
-    the inverse position plans (absent tracks are masked entries)."""
+    window-miss entries (`fovf_*`, from the robust planner) are patched
+    with a plain XLA gather/scatter so the result is EXACT.  The adjoint
+    is a track-major banded gather of the cotangent through the inverse
+    position plans (absent tracks are masked entries), plus one
+    segment-sum over the merged collision + window-miss overflow."""
     out, _ = _palette_gather_banded_fwd(
-        dims, features, fseg, fst, foff, bseg, bst, boff, ovf_pos, ovf_ids)
+        dims, features, fseg, fst, foff, fovf_pos, fovf_ids,
+        bseg, bst, boff, ovf_pos, ovf_ids)
     return out
 
 
@@ -402,8 +409,8 @@ def _banded_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _palette_gather_banded_fwd(dims, features, fseg, fst, foff,
-                               bseg, bst, boff, ovf_pos, ovf_ids):
+def _palette_gather_banded_fwd(dims, features, fseg, fst, foff, fovf_pos,
+                               fovf_ids, bseg, bst, boff, ovf_pos, ovf_ids):
     hw, _ = dims
     b, nb, blk = foff.shape
     packed = banded.pack_table(features)
@@ -411,13 +418,23 @@ def _palette_gather_banded_fwd(dims, features, fseg, fst, foff,
         packed, fseg.reshape(-1), fst.reshape(-1), foff.reshape(-1, blk),
         interpret=_banded_interpret())
     out = out.reshape(b, nb * blk, 3)[:, :hw]
-    res = (foff.shape, fseg.shape, bseg, bst, boff, ovf_pos, ovf_ids)
+    if fovf_pos.shape[1]:
+        # exact patch for window-miss pixels: padded entries (pos=-1)
+        # scatter to the sliced-off extra row
+        vals = features[jnp.maximum(fovf_ids, 0)].astype(out.dtype)
+        tgt = jnp.where(fovf_pos >= 0, fovf_pos, hw)
+        out = jnp.concatenate(
+            [out, jnp.zeros((b, 1, 3), out.dtype)], axis=1)
+        out = out.at[jnp.arange(b)[:, None], tgt].set(vals)[:, :hw]
+    res = (foff.shape, fseg.shape, fovf_pos.shape,
+           bseg, bst, boff, ovf_pos, ovf_ids)
     return out, res
 
 
 def _palette_gather_banded_bwd(dims, res, g):
     hw, p_pad = dims
-    foff_shape, fseg_shape, bseg, bst, boff, ovf_pos, ovf_ids = res
+    (foff_shape, fseg_shape, fovf_shape,
+     bseg, bst, boff, ovf_pos, ovf_ids) = res
     b, nbt, blk = boff.shape
     c = g.shape[-1]
     packed_g = banded.pack_frames(g)
@@ -434,7 +451,8 @@ def _palette_gather_banded_bwd(dims, res, g):
             vals.reshape(-1, c), ovf_ids.reshape(-1),
             num_segments=p_pad + 1)[:p_pad]
     return (adj, _int_zero_like(fseg_shape), _int_zero_like(foff_shape[:2]),
-            _int_zero_like(foff_shape), _int_zero_cotangent(bseg),
+            _int_zero_like(foff_shape), _int_zero_like(fovf_shape),
+            _int_zero_like(fovf_shape), _int_zero_cotangent(bseg),
             _int_zero_cotangent(bst), _int_zero_cotangent(boff),
             _int_zero_cotangent(ovf_pos), _int_zero_cotangent(ovf_ids))
 
@@ -500,35 +518,59 @@ def render_palette(features_dc: jnp.ndarray, unq_inv: jnp.ndarray,
 def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
                      p_pad: int, allow_banded: bool | None = None):
     """Static per-frame palette-index tables. Returns (tables, inv_np):
-    8-tuple tables -> banded Pallas gather both ways (fast path, used
+    10-tuple tables -> banded Pallas gather both ways (fast path, used
     when the per-video window precondition holds); 4-tuple -> dense
     inverse-map adjoint; 3-tuple -> sorted CSR adjoint (memory-bounded
     fallback for very long videos).  `allow_banded=None` enables the
     banded path on the TPU backend only (elsewhere the kernel would run
-    in Pallas interpret mode — orders of magnitude slower than XLA)."""
+    in Pallas interpret mode — orders of magnitude slower than XLA).
+
+    Results are cached (single slot) on a digest of the ids: a Generator
+    serves many prompts per video, and the host-side planning +
+    device upload costs ~15-20 s at 30x720x960."""
     if allow_banded is None:
         allow_banded = jax.default_backend() == "tpu"
     hw = h * w
     inv_np = np.asarray(unq_inv, np.int32).reshape(n, hw)
+    import hashlib
+
+    key = (hashlib.blake2b(inv_np.tobytes(), digest_size=16).hexdigest(),
+           n, h, w, p_pad, bool(allow_banded))
+    cached = _UVT_TABLE_CACHE.get("slot")
+    if cached is not None and cached[0] == key:
+        return cached[1], cached[2]
     if allow_banded:
         plan_bytes = 4 * 512 * n * (banded.row_blocks(hw)
                                     + banded.row_blocks(p_pad))
         if plan_bytes <= _BANDED_PLAN_MAX_BYTES:
-            fseg, fst, foff, fok = banded.plan_banded_gather_rows(inv_np)
+            fseg, fst, foff, fop, foi, fok = \
+                banded.plan_banded_gather_rows_robust(inv_np)
             if fok:
                 inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(
                     inv_np, p_pad)
                 pos = np.where(inv_map_np == hw, -1, inv_map_np)
-                bseg, bst, boff, bok = banded.plan_banded_gather_rows(pos)
+                bseg, bst, boff, bop, boi, bok = \
+                    banded.plan_banded_gather_rows_robust(pos)
                 if bok:
                     from tclight_tpu.utils.logging import get_logger
 
+                    # bwd window misses: planner rows are TRACKS and
+                    # values are pixel positions — swap into the
+                    # (pixel position, track id) collision convention
+                    # and merge into one segment-sum patch
+                    bop_pix = np.where(bop >= 0, boi, hw).astype(np.int32)
+                    bop_trk = np.where(bop >= 0, bop, p_pad).astype(np.int32)
+                    op_all = np.concatenate([ovf_pos_np, bop_pix], axis=1)
+                    oi_all = np.concatenate([ovf_ids_np, bop_trk], axis=1)
                     get_logger().info(
-                        "UVT: banded-gather fast path active "
-                        "(%d tracks, plans %.0f MB)", p_pad, plan_bytes / 1e6)
+                        "UVT: banded-gather fast path active (%d tracks, "
+                        "plans %.0f MB, overflow fwd %d + bwd %d cols)",
+                        p_pad, plan_bytes / 1e6, fop.shape[1],
+                        op_all.shape[1])
                     tables = tuple(jnp.asarray(a) for a in (
-                        fseg, fst, foff, bseg, bst, boff,
-                        ovf_pos_np, ovf_ids_np))
+                        fseg, fst, foff, fop, foi, bseg, bst, boff,
+                        op_all, oi_all))
+                    _UVT_TABLE_CACHE["slot"] = (key, tables, inv_np)
                     return tables, inv_np
     dense_map = n * p_pad * 4 <= _DENSE_MAP_MAX_BYTES
     unq_inv_frames = jnp.asarray(inv_np)
@@ -540,19 +582,22 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
         perm_np = np.argsort(inv_np, axis=1, kind="stable").astype(np.int32)
         ids_sorted_np = np.take_along_axis(inv_np, perm_np, axis=1)
         tables_rest = (jnp.asarray(perm_np), jnp.asarray(ids_sorted_np))
+    # dense/sorted builds are cheap and can be huge (sorted CSR at 300
+    # frames ~3 GB) — only the banded branch caches
     return (unq_inv_frames,) + tables_rest, inv_np
 
 
 def uvt_gather(features, tables, idx, hw: int | None = None):
     """Palette gather with the scatter-free adjoint matching the table
-    layout (len 8 = banded Pallas plans, len 4 = dense inverse map,
+    layout (len 10 = banded Pallas plans, len 4 = dense inverse map,
     len 3 = sorted CSR).  `hw` (static) is required for the banded
     layout only."""
-    if len(tables) == 8:
-        fseg, fst, foff, bseg, bst, boff, op, oi = tables
+    if len(tables) == 10:
+        fseg, fst, foff, fop, foi, bseg, bst, boff, op, oi = tables
         return _palette_gather_banded(
             (hw, features.shape[0]), features, fseg[idx], fst[idx],
-            foff[idx], bseg[idx], bst[idx], boff[idx], op[idx], oi[idx])
+            foff[idx], fop[idx], foi[idx], bseg[idx], bst[idx],
+            boff[idx], op[idx], oi[idx])
     inv_f = tables[0]
     if len(tables) == 4:
         _, map_f, op_f, oi_f = tables
