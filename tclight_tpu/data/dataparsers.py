@@ -86,7 +86,18 @@ class VideoDataParser:
 
     def load_data(self, frame_ids: Sequence[int]):
         """Returns (rgbs, None, None, future_flows, past_flows, mask_bwds)
-        and sets self.unq_inv / self.n_unique."""
+        and sets self.unq_inv / self.n_unique.
+
+        Memoized (single slot) on the frame set: a Generator serves many
+        prompts per video, and soft-mask/track recomputation costs ~20 s
+        per call at 30x720x960 (flows are disk-cached, masks/tracks were
+        not)."""
+        key = tuple(frame_ids)
+        cached = getattr(self, "_data_cache", None)
+        if cached is not None and cached[0] == key:
+            _, out, unq_inv, n_unique = cached
+            self.unq_inv, self.n_unique = unq_inv, n_unique
+            return out
         t0 = time.perf_counter()
         rgbs = self.load_video(frame_ids=frame_ids)
         future = self.load_flow(rgbs, frame_ids, "future")
@@ -110,7 +121,9 @@ class VideoDataParser:
         t3 = time.perf_counter()
         log.info("unique tracks: %d / %d pixels (video+flows %.1fs, soft masks %.1fs, tracks %.1fs)",
                  self.n_unique, flow_ids.size, t1 - t0, t2 - t1, t3 - t2)
-        return rgbs, None, None, future, past, mask_bwds
+        out = (rgbs, None, None, future, past, mask_bwds)
+        self._data_cache = (key, out, self.unq_inv, self.n_unique)
+        return out
 
 
 def make_data_parser(data_cfg, **kw):

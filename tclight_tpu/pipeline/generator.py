@@ -1129,6 +1129,7 @@ class Generator:
 
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
+            t_out = time.perf_counter()
             if (isinstance(clean_frames, jax.Array)
                     and compute_platform() == "tpu"):
                 # quantize to uint8 on device: 4x less d2h over the slow
@@ -1152,6 +1153,7 @@ class Generator:
                     clean_frames = np.asarray(clean_frames)
             else:
                 clean_frames = np.asarray(clean_frames)
+            self.stage_times["output_fetch"] = time.perf_counter() - t_out
             cost = tracker.finish(n, h, w)
 
             save_name = (
@@ -1167,6 +1169,9 @@ class Generator:
                 save_frames(clean_frames, out_dir / "frames")
             self._save_run_config(out_dir, cost, edit_name, edit_prompt)
             self._save_loss_curves(out_dir, losses_exposure, losses_uvt)
+            self.stage_times["output_save"] = (
+                time.perf_counter() - t_out
+                - self.stage_times.get("output_fetch", 0.0))
             results[edit_name] = clean_frames
             log.info("done [%s]: %.1fs total, %.2fs/frame", edit_name,
                      cost["total_time"], cost["sec_per_frame"])

@@ -61,20 +61,24 @@ def test_planner_masks_negative_indices():
 
 
 def test_kernel_matches_xla_gather_interpret():
-    ids = _roll_ids(2, 16, 256)
-    ids[1, 50:60] = -1  # masked entries -> zero rows
-    seg, st, offs, ok = bg.plan_banded_gather_rows(ids)
+    # small window/block keep Pallas interpret mode tractable on CPU
+    blk, win = 256, 1024
+    ids = _roll_ids(1, 8, 256)
+    ids[0, 50:60] = -1  # masked entries -> zero rows
+    seg, st, offs, ok = bg.plan_banded_gather_rows(ids, block=blk,
+                                                   window=win)
     assert ok
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.standard_normal((ids.max() + 1, 3)),
                         jnp.float32)
-    packed = bg.pack_table(table)
+    packed = bg.pack_table(table, window=win, block=blk)
     out = bg.banded_gather(packed, jnp.asarray(seg).reshape(-1),
                            jnp.asarray(st).reshape(-1),
-                           jnp.asarray(offs).reshape(-1, 512),
+                           jnp.asarray(offs).reshape(-1, blk),
+                           window=win,
                            interpret=jax.default_backend() != "tpu")
     ref = bg.banded_gather_xla(table, jnp.asarray(st).reshape(-1),
-                               jnp.asarray(offs).reshape(-1, 512))
+                               jnp.asarray(offs).reshape(-1, blk))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
@@ -91,6 +95,7 @@ def uvt_case():
     return n, h, w, ids, p_pad, feats
 
 
+@pytest.mark.slow
 def test_uvt_banded_tables_activate_and_match_dense(uvt_case):
     n, h, w, ids, p_pad, feats = uvt_case
     tb, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
@@ -104,6 +109,7 @@ def test_uvt_banded_tables_activate_and_match_dense(uvt_case):
     np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
 
 
+@pytest.mark.slow
 def test_uvt_banded_adjoint_exact(uvt_case):
     n, h, w, ids, p_pad, feats = uvt_case
     tb, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
@@ -118,6 +124,7 @@ def test_uvt_banded_adjoint_exact(uvt_case):
     np.testing.assert_array_equal(np.asarray(gb), np.asarray(gd))
 
 
+@pytest.mark.slow
 def test_uvt_banded_tolerates_sparse_generation_mixing():
     """Real tracked ids (get_flowid) mix a few fresh far-band track ids
     into near-monotone scanline blocks; the robust planner must still

@@ -37,6 +37,7 @@ def test_controlnet_residual_shapes_and_zero_init(rng):
     assert float(jnp.abs(mid).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_unet_residual_injection_changes_output(rng):
     cfg = _tiny_cfg()
     unet = UNet2DCondition(cfg)

@@ -141,6 +141,7 @@ def test_guardrails():
     np.testing.assert_allclose(out, frames)
 
 
+@pytest.mark.slow
 def test_latent_diffusion_decoder():
     """Token-conditioned decoder: generated latents depend on the AR token
     stream (channel-concat conditioning, network.py:98-163)."""

@@ -127,3 +127,13 @@ def test_video_parser_flow_cache(tmp_path, rng):
     parser2 = VideoDataParser(cfg)
     _, _, _, fut2, _, _ = parser2.load_data([0, 1, 2])
     np.testing.assert_allclose(fut2, fut)
+    # same-parser repeat is memoized (serving: many prompts per video) —
+    # identical objects, no recompute
+    unq = parser.unq_inv
+    parser.unq_inv = None
+    rgbs2, _, _, fut3, _, masks2 = parser.load_data([0, 1, 2])
+    assert fut3 is fut and masks2 is masks and rgbs2 is rgbs
+    assert parser.unq_inv is unq
+    # a different frame set misses the memo
+    parser.load_data([0, 1])
+    assert parser.unq_inv is not unq

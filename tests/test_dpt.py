@@ -63,6 +63,7 @@ def test_dpt_parity_other_resolution(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_prepare_depth_maps_range(rng):
     cfg = DPTConfig.tiny()
     model = DPTForDepthEstimation(cfg)

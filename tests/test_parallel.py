@@ -83,6 +83,7 @@ def test_parallel_denoise_covers_all_frames():
     assert (np.abs(noises).reshape(n, -1).max(axis=1) > 1e-6).all()
 
 
+@pytest.mark.slow
 def test_postopt_mesh_matches_single_device(rng):
     """run_exposure_align/run_uvt produce the same result with and without
     a mesh — ONE loss implementation, two execution layouts."""
