@@ -49,6 +49,66 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_backend(retries: int | None = None, timeout: int | None = None,
+                  backoff: int | None = None):
+    """Probe JAX backend availability in a SUBPROCESS with bounded retries.
+
+    A down axon tunnel hangs indefinitely inside
+    `xla_client.make_c_api_client` — uninterruptible in-process (this
+    crashed the round-2 driver bench with a raw UNAVAILABLE traceback).
+    Probing out-of-process keeps the bench responsive and lets it emit an
+    explicit artifact on a dead backend instead of rc=1.
+
+    Returns (platform, n_devices) or (None, 0) after all retries fail.
+    """
+    import subprocess
+
+    retries = retries or int(os.environ.get("BENCH_PROBE_RETRIES", 3))
+    timeout = timeout or int(os.environ.get("BENCH_PROBE_TIMEOUT", 240))
+    backoff = backoff or int(os.environ.get("BENCH_PROBE_BACKOFF", 45))
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    for attempt in range(1, retries + 1):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            line = out.stdout.strip().splitlines()
+            if out.returncode == 0 and line:
+                platform, ndev = line[-1].split()
+                log(f"[bench] backend probe ok: {platform} x{ndev}")
+                return platform, int(ndev)
+            log(f"[bench] probe {attempt}/{retries}: rc={out.returncode} "
+                f"{out.stderr.strip().splitlines()[-1:]}")
+        except subprocess.TimeoutExpired:
+            log(f"[bench] probe {attempt}/{retries}: timed out after "
+                f"{timeout}s (tunnel down?)")
+        if attempt < retries:
+            log(f"[bench] retrying backend probe in {backoff}s")
+            time.sleep(backoff)
+    return None, 0
+
+
+def emit(payload: dict) -> None:
+    """The ONE JSON line the driver records."""
+    print(json.dumps(payload), flush=True)
+
+
+def load_variant_blocks() -> dict:
+    """Builder-measured flagship-variant numbers (multi-axis yt pass,
+    300x1280x720 long video, cold/steady splits), committed as
+    BENCH_VARIANTS.json whenever they are re-measured on real TPU. Embedded
+    in the bench output so every round's artifact carries them, clearly
+    labeled with their measurement timestamp."""
+    p = Path(__file__).parent / "BENCH_VARIANTS.json"
+    if p.exists():
+        try:
+            return json.loads(p.read_text())
+        except Exception:
+            return {}
+    return {}
+
+
 def make_synthetic(work: Path, n: int, h: int, w: int, shift: int = 2):
     """Rolling-texture video + exact flow caches (so the bench measures the
     pipeline, not Farneback)."""
@@ -86,6 +146,20 @@ def main() -> int:
     w = int(os.environ.get("BENCH_W", w))
     steps = int(os.environ.get("BENCH_STEPS", steps))
     unet_kind = os.environ.get("BENCH_UNET", unet_kind)
+
+    platform, ndev = probe_backend()
+    if platform is None:
+        emit({
+            "metric": f"e2e_sec_per_frame_{w}x{h}x{n}",
+            "value": 0.0,
+            "unit": "s/frame",
+            "vs_baseline": 0.0,
+            "error": "backend unavailable: jax.devices() did not come up "
+                     "in any bounded probe (axon tunnel down); no "
+                     "measurement possible this run",
+            "variants": load_variant_blocks(),
+        })
+        return 0
 
     import jax
     import jax.numpy as jnp
@@ -195,13 +269,15 @@ def main() -> int:
     t_setup = time.time() - t_start
     runs = int(os.environ.get("BENCH_RUNS", 2))
     t0 = time.time()
+    run_totals = []
     try:
         for r in range(runs):
             t_run = time.time()
             gen(None, str(work / "out"), list(range(n)))
-            log(f"[bench] run {r + 1}/{runs}: {time.time() - t_run:.1f}s "
+            run_totals.append(time.time() - t_run)
+            log(f"[bench] run {r + 1}/{runs}: {run_totals[-1]:.1f}s "
                 f"stages {getattr(gen, 'stage_times', {})}")
-            total = time.time() - t_run
+        total = run_totals[-1]
         stage = getattr(gen, "stage_times", {})
         suffix = ""
         if not os.environ.get("BENCH_FULL_OPT") and not os.environ.get("BENCH_NO_OPT"):
@@ -227,12 +303,22 @@ def main() -> int:
         sec_per_frame = total / n
         log(f"[bench] setup {t_setup:.1f}s, stages {stage}, e2e {total:.1f}s "
             f"({sec_per_frame:.2f} s/frame{suffix})")
-        print(json.dumps({
+        payload = {
             "metric": f"e2e_sec_per_frame_{w}x{h}x{n}{suffix}",
             "value": round(sec_per_frame, 4),
             "unit": "s/frame",
             "vs_baseline": round(BASELINE_SEC_PER_FRAME / sec_per_frame, 3),
-        }))
+            # cold-vs-steady split (VERDICT r2 #9): run 1 pays jit compiles
+            # + the tunnel's first-h2d-transfer stall; later runs are the
+            # serving-path shape. Raw measured, no extrapolation.
+            "cold_sec_per_frame": round(run_totals[0] / n, 4),
+            "steady_sec_per_frame": (
+                round(run_totals[-1] / n, 4) if runs > 1 else None
+            ),
+            "platform": platform,
+            "variants": load_variant_blocks(),
+        }
+        emit(payload)
         return 0
     except Exception as e:  # noqa: BLE001 — always emit a metric
         log(f"[bench] e2e failed ({type(e).__name__}: {e}); falling back to "
@@ -284,14 +370,29 @@ def fallback_step_metric(models, gen, n, h, w, steps) -> int:
     sec_per_frame = step_time * steps / n
     log(f"[bench] denoise step {step_time:.2f}s -> extrapolated "
         f"{sec_per_frame:.2f} s/frame (sampling only)")
-    print(json.dumps({
+    emit({
         "metric": f"denoise_sec_per_frame_{w}x{h}x{n}_extrapolated",
         "value": round(sec_per_frame, 4),
         "unit": "s/frame",
         "vs_baseline": round(BASELINE_SEC_PER_FRAME / max(sec_per_frame, 1e-9), 3),
-    }))
+        "variants": load_variant_blocks(),
+    })
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # noqa: BLE001 — the driver must always get JSON
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit({
+            "metric": "bench_failed",
+            "value": 0.0,
+            "unit": "s/frame",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+            "variants": load_variant_blocks(),
+        })
+        sys.exit(0)

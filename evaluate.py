@@ -67,6 +67,9 @@ def evaluate_run(run_dir: Path, eval_cost: bool, clip_embed=None,
     scores["warp-error-ssim"] = warp_error_ssim(
         edited, source, flow_fwd=flow_fwd, flow_bwd=flow_bwd
     )
+    # record the flow backend in result.txt: farneback-based warp-error is
+    # not comparable to the reference's RAFT-based numbers
+    scores["zz_flow_backend"] = backend
     scores["psnr"] = psnr(edited, source)
     scores["ssim"] = ssim_gaussian(edited, source)
 
@@ -139,9 +142,13 @@ def main(argv=None) -> int:
                         help="local PickScore (CLIP-H) checkpoint dir")
     parser.add_argument("--lpips_ckpt", type=str, default=None,
                         help="local VGG16 + lpips lin-head checkpoint dir")
-    parser.add_argument("--flow_model", type=str, default="farneback",
+    parser.add_argument("--flow_model", type=str, default=None,
                         choices=["farneback", "raft", "memflow"],
-                        help="flow backend for warp-error (reference: raft)")
+                        help="flow backend for warp-error (reference: raft). "
+                             "Default: raft when a checkpoint is found at "
+                             "--flow_ckpt or a conventional path, else "
+                             "farneback (loudly warned — numbers are then "
+                             "NOT comparable to published TC-Light evals)")
     parser.add_argument("--flow_ckpt", type=str, default=None)
     args = parser.parse_args(argv)
 
@@ -151,7 +158,26 @@ def main(argv=None) -> int:
     pick_embed = (loaders.load_clip_embed(args.pick_ckpt, variant="h14")
                   if args.pick_ckpt else None)
     lpips_obj = loaders.load_lpips(args.lpips_ckpt) if args.lpips_ckpt else None
-    flow = loaders.load_flow_backend(args.flow_model, args.flow_ckpt)
+
+    flow_model, flow_ckpt = args.flow_model, args.flow_ckpt
+    if flow_model is None:
+        # reference warp-error-ssim is defined on RAFT flows
+        # (utils/evaluation/eval_utils.py:178): auto-select RAFT when a
+        # checkpoint is available, never silently default to farneback
+        if flow_ckpt is None:
+            conventional = [Path("models/raft/raft-things.pth"),
+                            Path("models/raft/raft-things.safetensors")]
+            flow_ckpt = next((str(p) for p in conventional if p.exists()), None)
+        if flow_ckpt is not None:
+            flow_model = "raft"
+        else:
+            flow_model = "farneback"
+            print("[WARN] no RAFT checkpoint found (looked for --flow_ckpt "
+                  "and models/raft/raft-things.pth): falling back to "
+                  "farneback flow. warp-error numbers are NOT comparable "
+                  "to published TC-Light (RAFT-based) evaluations.",
+                  file=sys.stderr)
+    flow = loaders.load_flow_backend(flow_model, flow_ckpt)
 
     run_dirs = find_run_dirs(Path(args.output_dir))
     if not run_dirs:

@@ -213,16 +213,23 @@ class DPMSolverMultistepScheduler:
                 self.num_inference_steps, self.rho,
             )
         else:
+            # diffusers 'linspace' spacing: n+1 points, drop the t=0 entry
             idx = np.linspace(
-                0, self.schedule.num_train_timesteps - 1, self.num_inference_steps
-            ).round().astype(int)[::-1]
+                0, self.schedule.num_train_timesteps - 1,
+                self.num_inference_steps + 1,
+            ).round().astype(int)[::-1][:-1]
             s = train_sigmas[idx]
         return np.concatenate([s, [0.0]]).astype(np.float32)
 
     def timesteps(self) -> np.ndarray:
-        """Float timesteps fed to the model, matched to `sigmas()[:-1]`."""
+        """Float timesteps fed to the model, matched to `sigmas()[:-1]`.
+
+        Rounded to integers like diffusers 0.32.1's Karras path
+        (`set_timesteps`: `timesteps = ...round()`), so the UNet sees the
+        exact reference conditioning values."""
         train_sigmas = self._train_sigmas()
-        return _sigma_to_t(self.sigmas()[:-1], np.log(train_sigmas)).astype(np.float32)
+        t = _sigma_to_t(self.sigmas()[:-1], np.log(train_sigmas))
+        return t.round().astype(np.float32)
 
     @property
     def init_noise_sigma(self) -> float:

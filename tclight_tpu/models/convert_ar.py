@@ -36,6 +36,8 @@ __all__ = [
     "convert_mm_projector",
     "convert_vlm_checkpoint",
     "from_hf_pixtral",
+    "from_hf_llama",
+    "merge_lora",
     "expand_vocab",
 ]
 
@@ -221,6 +223,75 @@ def from_hf_pixtral(
             )
             out["mm_projector." + k2] = v
     return out
+
+
+def from_hf_llama(
+    sd: Mapping[str, np.ndarray], n_heads: int, n_kv_heads: int
+) -> dict:
+    """Remap an HF LlamaForCausalLM state dict (LlamaGuard-7b layout:
+    ``model.layers.{i}.self_attn.q_proj.weight`` ...) to the cosmos-native
+    flat layout consumed by `convert_ar_llm`, un-permuting the rotate-half
+    RoPE row order HF applies to q/k."""
+    out: dict = {}
+    for k, v in sd.items():
+        v = _np(v)
+        if k == "lm_head.weight":
+            out["output.weight"] = v
+            continue
+        k2 = k.removeprefix("model.")
+        k2 = (
+            k2.replace("embed_tokens", "tok_embeddings")
+            .replace("self_attn.q_proj", "attention.wq")
+            .replace("self_attn.k_proj", "attention.wk")
+            .replace("self_attn.v_proj", "attention.wv")
+            .replace("self_attn.o_proj", "attention.wo")
+            .replace("mlp.gate_proj", "feed_forward.w1")
+            .replace("mlp.down_proj", "feed_forward.w2")
+            .replace("mlp.up_proj", "feed_forward.w3")
+            .replace("input_layernorm", "attention_norm")
+            .replace("post_attention_layernorm", "ffn_norm")
+        )
+        if ".wq." in k2:
+            v = _unpermute_rotary(v, n_heads)
+        elif ".wk." in k2:
+            v = _unpermute_rotary(v, n_kv_heads)
+        out[k2] = v
+    return out
+
+
+def merge_lora(
+    base_sd: Mapping[str, np.ndarray],
+    adapter_sd: Mapping[str, np.ndarray],
+    lora_alpha: float,
+    r: int,
+    use_rslora: bool = False,
+) -> dict:
+    """Merge a PEFT LoRA adapter into a base HF state dict:
+    ``W' = W + scale * B @ A`` with ``scale = lora_alpha / r``
+    (rsLoRA: ``lora_alpha / sqrt(r)``) — what `PeftModel.from_pretrained`
+    + `merge_and_unload` does for the Aegis LlamaGuard adapter
+    (reference cosmos1/models/guardrail/aegis/aegis.py:40-48).
+
+    Adapter keys use the PEFT wrapping prefix
+    ``base_model.model.<module>.lora_A.weight`` /  ``...lora_B.weight``;
+    the target base key is ``<module>.weight``. Done in float32 numpy;
+    keys absent from the adapter pass through unchanged."""
+    scale = lora_alpha / (np.sqrt(r) if use_rslora else r)
+    merged = {k: _np(v) for k, v in base_sd.items()}
+    for k, a in adapter_sd.items():
+        if ".lora_A." not in k:
+            continue
+        b_key = k.replace(".lora_A.", ".lora_B.")
+        module = k.split(".lora_A.")[0].removeprefix("base_model.model.")
+        target = module + ".weight"
+        if target not in merged:
+            raise KeyError(f"LoRA adapter targets missing base key {target}")
+        a_w = _np(a).astype(np.float32)            # (r, in)
+        b_w = _np(adapter_sd[b_key]).astype(np.float32)   # (out, r)
+        merged[target] = (
+            merged[target].astype(np.float32) + scale * (b_w @ a_w)
+        )
+    return merged
 
 
 def expand_vocab(

@@ -53,13 +53,15 @@ def _stub_timm():
 
 
 def _build_ref(depth):
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
+    from _ref_oracle import ref_import
+
     _stub_timm()
-    from utils.evaluation.memflow.core.Networks.MemFlowNet.MemFlow import (
-        MemFlowNet,
+    MemFlowNet = ref_import(
+        "utils.evaluation.memflow.core.Networks.MemFlowNet.MemFlow"
+    ).MemFlowNet
+    inference_core_skflow = ref_import(
+        "utils.evaluation.memflow.inference.inference_core_skflow"
     )
-    from utils.evaluation.memflow.inference import inference_core_skflow
 
     cfg = _Cfg(
         cnet="basicencoder", fnet="basicencoder", gma="GMA-SK2",

@@ -21,9 +21,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _torch_raft():
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from utils.evaluation.core.raft import RAFT as TorchRAFT
+    from _ref_oracle import ref_import
+
+    TorchRAFT = ref_import("utils.evaluation.core.raft").RAFT
 
     args = argparse.Namespace(
         small=False, mixed_precision=False, alternate_corr=False, dropout=0.0

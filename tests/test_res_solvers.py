@@ -1,14 +1,12 @@
 """RES solver family parity vs the reference runge_kutta/multi_step
 modules (imported from /root/reference as oracles)."""
 
-import sys
-
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+from _ref_oracle import ref_import
 
 from tclight_tpu.cosmos.edm import (
     MULTISTEP_SOLVERS, RK_SOLVERS, SolverConfig, rho_timesteps, sample_res)
@@ -32,8 +30,9 @@ def _x0_fn_torch(x, s):
 @pytest.mark.parametrize("name", sorted(RK_SOLVERS))
 def test_rk_steps_match_reference(name, rng):
     import torch
-    from cosmos1.models.diffusion.diffusion.functional.runge_kutta import (
-        get_runge_kutta_fn)
+    get_runge_kutta_fn = ref_import(
+        "cosmos1.models.diffusion.diffusion.functional.runge_kutta"
+    ).get_runge_kutta_fn
 
     x = rng.normal(size=(2, 4, 4)).astype(np.float32) * 5.0
     s, t = 2.0, 1.2
@@ -52,8 +51,9 @@ def test_rk_steps_match_reference(name, rng):
 
 def test_multistep_2ab_matches_reference(rng):
     import torch
-    from cosmos1.models.diffusion.diffusion.functional.multi_step import (
-        get_multi_step_fn)
+    get_multi_step_fn = ref_import(
+        "cosmos1.models.diffusion.diffusion.functional.multi_step"
+    ).get_multi_step_fn
 
     ref_fn = get_multi_step_fn("2ab")
     ours = MULTISTEP_SOLVERS["2ab"]
