@@ -66,7 +66,10 @@ def parse_block_message(moderation_output: str) -> str:
     try:
         lines = moderation_output.split("\n")
         if len(lines) >= 2:
-            blocked_category = int(lines[1].lstrip("O").split(",")[0]) - 1
+            # int() of the whole second line: a multi-category line like
+            # "O1,O3" raises and yields the generic message — reference
+            # behavior (aegis.py:76-81), kept
+            blocked_category = int(lines[1].lstrip("O")) - 1
             if 0 <= blocked_category < len(UNSAFE_CATEGORIES):
                 cat = UNSAFE_CATEGORIES[blocked_category]
                 block_msg = f"{cat['category']}: {cat['blocked_reason']}"
@@ -120,7 +123,8 @@ def _load_adapter(d: Path):
 class AegisLlamaGuard:
     """Checkpoint-backed Aegis safety model on the repo's AR stack."""
 
-    def __init__(self, ckpt_dir: str | Path, max_new_tokens: int = 100):
+    def __init__(self, ckpt_dir: str | Path, max_new_tokens: int = 100,
+                 tokenizer=None):
         from tclight_tpu.models.ar_transformer import (
             ARConfig, ARGenerator, Transformer)
         from tclight_tpu.models.convert_ar import (
@@ -157,9 +161,11 @@ class AegisLlamaGuard:
         self.generator = ARGenerator(self.model, params, cfg)
         self.max_new_tokens = max_new_tokens
 
-        from transformers import AutoTokenizer
+        if tokenizer is None:
+            from transformers import AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(str(d))
+            tokenizer = AutoTokenizer.from_pretrained(str(d))
+        self.tokenizer = tokenizer
         self.eos_id = int(self.tokenizer.eos_token_id)
 
     def moderate(self, prompt: str) -> str:

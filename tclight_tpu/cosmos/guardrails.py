@@ -100,11 +100,33 @@ class ModelBackedChecker:
 
 
 class AegisChecker(ModelBackedChecker):
-    """LlamaGuard-LoRA prompt checker (aegis/aegis.py:130). Interface-level:
-    the backing model is a full 7B LLM + PEFT adapter; wire `predict` with
-    any local classifier. Decision documented in PARITY.md."""
+    """LlamaGuard-7B + Aegis-Defensive-LoRA prompt checker
+    (aegis/aegis.py:40-130). With a checkpoint dir configured this is the
+    REAL model: weights are LoRA-merged host-side and run on the repo's
+    GQA Transformer with the reference's exact moderation template and
+    unsafe-category parse (tclight_tpu/cosmos/aegis.py). Without a
+    checkpoint it passes through with a warning; `predict` still accepts
+    any custom classifier callable."""
 
     name = "aegis"
+
+    def _load(self) -> bool:
+        if getattr(self, "_model", None) is not None:
+            return True
+        if self.ckpt_dir is None or not Path(str(self.ckpt_dir)).exists():
+            return False
+        from tclight_tpu.cosmos.aegis import AegisLlamaGuard
+
+        self._model = AegisLlamaGuard(self.ckpt_dir)
+        return True
+
+    def __call__(self, item) -> SafetyResult:
+        if self.predict is not None:
+            return self.predict(item)
+        if self._load():
+            safe, msg = self._model.is_safe(str(item))
+            return SafetyResult(safe, msg)
+        return SafetyResult(True, f"{self.name}: no checkpoint, pass-through")
 
 
 # class names for the 7-way video safety head
