@@ -5,9 +5,12 @@ registry (:17-25) and per-type control-image preprocessors (:29-94). The
 reference delegates to the `controlnet_aux` package (HED/openpose/midas
 networks); here:
 - 'canny' and 'tile' are self-contained (cv2 / identity);
-- 'softedge'/'depth'/'lineart'/'openpose' accept a pluggable `model_fn`
-  (e.g. a local-checkpoint MiDaS/HED port) and raise a clear error when
-  none is wired — the zero-egress build keeps the interface + registry.
+- the model-backed types take a `model_fn`, which the Generator wires
+  from the checkpoint-gated Flax annotator ports when `annotator_ckpt`
+  points at local weights: softedge/scribble -> models/hed.py,
+  depth -> models/dpt.py, lineart/lineart_anime -> models/lineart.py,
+  openpose -> models/openpose.py. Without a checkpoint a clear error is
+  raised (zero-egress build: no weights are downloaded).
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ CONTROLNET_DICT = {
     "openpose": "lllyasviel/control_v11p_sd15_openpose",
     "softedge": "lllyasviel/control_v11p_sd15_softedge",
     "depth": "lllyasviel/control_v11f1p_sd15_depth",
+    "lineart_anime": "lllyasviel/control_v11p_sd15s2_lineart_anime",
     "lineart": "lllyasviel/control_v11p_sd15_lineart",
     "canny": "lllyasviel/control_v11p_sd15_canny",
 }
@@ -58,7 +62,8 @@ def ip2p_preprocess(frames: np.ndarray) -> np.ndarray:
     return frames.copy()
 
 
-_MODEL_BACKED = ("openpose", "softedge", "depth", "lineart")
+_MODEL_BACKED = ("openpose", "softedge", "depth", "lineart",
+                 "lineart_anime")
 
 
 def control_preprocess(

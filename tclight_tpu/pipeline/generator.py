@@ -957,6 +957,18 @@ class Generator:
                     from tclight_tpu.models.hed import softedge_model_fn
 
                     model_fn = softedge_model_fn(ann)
+            if self.control in ("lineart", "lineart_anime"):
+                ann = _cfg_get(gen_cfg, "annotator_ckpt")
+                if ann and Path(str(ann)).exists():
+                    from tclight_tpu.models.lineart import lineart_model_fn
+
+                    model_fn = lineart_model_fn(ann)
+            if self.control == "openpose":
+                ann = _cfg_get(gen_cfg, "annotator_ckpt")
+                if ann and Path(str(ann)).exists():
+                    from tclight_tpu.models.openpose import openpose_model_fn
+
+                    model_fn = openpose_model_fn(ann)
             if self.control == "depth":
                 # DPT-backed depth annotator (controlnet_utils.py:63-74):
                 # per-frame normalized depth stacked to 3 channels
@@ -1194,8 +1206,8 @@ class Generator:
         else:
             from tclight_tpu.models.convert import load_torch_state_dict
             from tclight_tpu.models.dpt import (
-                DPTConfig, DPTForDepthEstimation, convert_dpt,
-                prepare_depth_maps)
+                DPTForDepthEstimation, convert_dpt,
+                dpt_config_for_state_dict, prepare_depth_maps)
 
             ckpt = _cfg_get(self.config.get("generation", {}), "depth_ckpt")
             if not ckpt or not Path(str(ckpt)).exists():
@@ -1203,9 +1215,10 @@ class Generator:
                     "sd-depth needs generation.depth_ckpt pointing at a "
                     "local DPT checkpoint (transformers "
                     "DPTForDepthEstimation state dict)")
-            cfg = DPTConfig.large()
+            sd = load_torch_state_dict(ckpt)
+            cfg = dpt_config_for_state_dict(sd)
             model = DPTForDepthEstimation(cfg)
-            params = convert_dpt(load_torch_state_dict(ckpt), cfg)
+            params = convert_dpt(sd, cfg)
             depth = prepare_depth_maps(model, params, frames, latent_hw)
         if cache is not None:
             cache.parent.mkdir(parents=True, exist_ok=True)
