@@ -85,16 +85,18 @@ class Inverter:
             return self.depth_fn(frames, latent_hw)
         from tclight_tpu.models.convert import load_torch_state_dict
         from tclight_tpu.models.dpt import (
-            DPTConfig, DPTForDepthEstimation, convert_dpt, prepare_depth_maps)
+            DPTForDepthEstimation, convert_dpt, dpt_config_for_state_dict,
+            prepare_depth_maps)
 
         gen = self.config.get("generation", {}) or {}
         ckpt = gen.get("depth_ckpt")
         if not ckpt or not Path(str(ckpt)).exists():
             raise FileNotFoundError(
                 "sd-depth inversion needs generation.depth_ckpt")
-        cfg = DPTConfig.large()
+        sd = load_torch_state_dict(ckpt)
+        cfg = dpt_config_for_state_dict(sd)
         model = DPTForDepthEstimation(cfg)
-        params = convert_dpt(load_torch_state_dict(ckpt), cfg)
+        params = convert_dpt(sd, cfg)
         return prepare_depth_maps(model, params, frames, latent_hw)
 
     def _unet_eps(self, params, x, t, cond, depth=None):

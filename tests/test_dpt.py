@@ -63,6 +63,50 @@ def test_dpt_parity_other_resolution(rng):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
+def _hf_tiny_hybrid():
+    from transformers import DPTConfig as HFCfg
+    from transformers import DPTForDepthEstimation as HFModel
+    import torch
+
+    hf_cfg = HFCfg(
+        image_size=64, patch_size=16, hidden_size=32,
+        num_hidden_layers=4, num_attention_heads=2, intermediate_size=64,
+        backbone_out_indices=[0, 1, 2, 3],
+        neck_hidden_sizes=[16, 24, 32, 32],
+        reassemble_factors=[1, 1, 1, 0.5],
+        fusion_hidden_size=32, is_hybrid=True, readout_type="project",
+        backbone_featmap_shape=[1, 32, 4, 4],
+        backbone_config={
+            "global_padding": "same", "layer_type": "bottleneck",
+            "depths": [1, 1, 1], "out_features": ["stage1", "stage2",
+                                                  "stage3"],
+            "embedding_dynamic_padding": True, "embedding_size": 16,
+            "hidden_sizes": [16, 24, 32], "num_groups": 4,
+        })
+    torch.manual_seed(0)
+    return HFModel(hf_cfg).eval()
+
+
+@pytest.mark.slow
+def test_dpt_hybrid_parity_with_transformers(rng):
+    """DPT-hybrid (BiT stem) — the actual sd2-depth depth backbone."""
+    import torch
+
+    hf = _hf_tiny_hybrid()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    cfg = DPTConfig.tiny_hybrid()
+    params = convert_dpt(sd, cfg)
+    model = DPTForDepthEstimation(cfg)
+
+    imgs = rng.uniform(-1, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(np.moveaxis(imgs, -1, 1).copy())
+                 ).predicted_depth.numpy()
+    ours = np.asarray(model.apply(params, jnp.asarray(imgs)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.slow
 def test_prepare_depth_maps_range(rng):
     cfg = DPTConfig.tiny()
