@@ -245,8 +245,11 @@ def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8):
 
 
 def _select(wref, t0, offs, window):
-    """Select (BL, 8) from packed window tiles wref[t0 + j] (8, 128) at
-    offsets offs (1, BL) via vreg-tiled tpu.dynamic_gather."""
+    """Select (8, BL) from packed window tiles wref[t0 + j] (8, 128) at
+    offsets offs (1, BL) via vreg-tiled tpu.dynamic_gather. Outputs stay
+    channel-sublane / id-lane: transposing to (BL, 8) inside the kernel
+    forced an 8-lane-minor store layout that wasted 15/16 of every store
+    vreg (measured 2.6x on the whole gather)."""
     bl = offs.shape[1]
     offs8 = jnp.broadcast_to(offs, (_CPAD, bl))          # (8, BL)
     out = jnp.zeros((_CPAD, bl), jnp.float32)
@@ -262,7 +265,7 @@ def _select(wref, t0, offs, window):
                 src, idx[:, sl], axis=1, mode="promise_in_bounds"))
         sel = jnp.concatenate(cols, axis=1)              # (8, BL)
         out = jnp.where(hit, sel, out)
-    return out.T                                         # (BL, 8)
+    return out                                           # (8, BL)
 
 
 def _kernel(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win, sem,
@@ -293,7 +296,7 @@ def _kernel(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win, sem,
     seg0 = seg_ref[g]
     for u in range(group):
         t0 = (starts_ref[g * group + u] - seg0) // _TILE
-        out_ref[u] = _select(win.at[slot], t0, offs_ref[u][None], window)
+        out_ref[u] = _select(win.at[slot], t0, offs_ref[u][None], window)  # (8, BL)
 
 
 try:  # pallas TPU imports (unavailable on some CPU-only builds)
@@ -320,7 +323,7 @@ def _banded_gather_call(packed, seg_starts, starts, offs,
             pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((group, bl, _CPAD),
+        out_specs=pl.BlockSpec((group, _CPAD, bl),
                                lambda g, seg, starts: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, segn, _CPAD, _TILE), jnp.float32),
@@ -330,7 +333,7 @@ def _banded_gather_call(packed, seg_starts, starts, offs,
     return pl.pallas_call(
         functools.partial(_kernel, window=window),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, bl, _CPAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, _CPAD, bl), jnp.float32),
         interpret=interpret,
     )(seg_starts, starts, offs, packed)
 
@@ -346,7 +349,11 @@ def banded_gather_xla(table, starts, offs):
 def banded_gather(packed, seg_starts, starts, offs, channels: int = 3,
                   window: int = 2048, group: int = 8,
                   interpret: bool = False):
-    """packed (NT, 8, 128) -> (NB, BL, channels) f32 per the plan."""
+    """packed (NT, 8, 128) -> (NB, BL, channels) f32 per the plan.
+
+    The kernel stores (NB, 8, BL) channel-sublane blocks (full store-lane
+    utilization); the row-major transpose happens here in XLA where it
+    fuses with the consumer."""
     out = _banded_gather_call(packed, seg_starts, starts, offs, window,
                               group, interpret)
-    return out[..., :channels]
+    return out[:, :channels, :].transpose(0, 2, 1)

@@ -278,17 +278,31 @@ def run_exposure_align(
     masks_bwd_j = jnp.asarray(masks_bwd)
     history = []
     epoch_times: list[float] = []
-    for _ in range(cfg.epochs_exposure):
-        t0 = time.perf_counter()
+    # epochs are dispatched back-to-back and synced ONCE: a per-epoch
+    # loss fetch costs a tunnel round-trip (axon d2h latency), which at
+    # 35/70-epoch budgets was a visible fraction of the epoch wall.
+    # Epoch 1 is synced separately so its jit compile stays out of the
+    # steady-state per-epoch numbers bench.py extrapolates from.
+    t0 = time.perf_counter()
+    for e in range(cfg.epochs_exposure):
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         exposure, opt_state, losses = run_epoch(
             exposure, opt_state, frames, past_flows, masks_bwd_j,
             jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
-        history.append(np.asarray(losses))  # host sync per epoch
-        epoch_times.append(time.perf_counter() - t0)
+        history.append(losses)  # device array; fetched after the loop
+        if e == 0:
+            np.asarray(losses)  # real host sync (axon block_until_ready
+            # can return early, PERF_NOTES)
+            epoch_times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+    if cfg.epochs_exposure > 1:
+        np.asarray(history[-1])
+        steady = (time.perf_counter() - t0) / (cfg.epochs_exposure - 1)
+        epoch_times.extend([steady] * (cfg.epochs_exposure - 1))
     aligned = _apply_exposure(frames, exposure)
-    hist = np.concatenate(history) if history else np.zeros(0)
+    hist = (np.concatenate([np.asarray(l) for l in history])
+            if history else np.zeros(0))
     return aligned, exposure, hist, np.asarray(epoch_times)
 
 
@@ -414,18 +428,26 @@ def _palette_gather_banded_fwd(dims, features, fseg, fst, foff, fovf_pos,
     hw, _ = dims
     b, nb, blk = foff.shape
     packed = banded.pack_table(features)
-    out = banded.banded_gather(
+    raw = banded._banded_gather_call(
         packed, fseg.reshape(-1), fst.reshape(-1), foff.reshape(-1, blk),
-        interpret=_banded_interpret())
-    out = out.reshape(b, nb * blk, 3)[:, :hw]
+        interpret=_banded_interpret())          # (b*nb, CPAD, blk)
     if fovf_pos.shape[1]:
-        # exact patch for window-miss pixels: padded entries (pos=-1)
-        # scatter to the sliced-off extra row
-        vals = features[jnp.maximum(fovf_ids, 0)].astype(out.dtype)
-        tgt = jnp.where(fovf_pos >= 0, fovf_pos, hw)
-        out = jnp.concatenate(
-            [out, jnp.zeros((b, 1, 3), out.dtype)], axis=1)
-        out = out.at[jnp.arange(b)[:, None], tgt].set(vals)[:, :hw]
+        # exact patch for window-miss pixels, applied IN THE KERNEL'S
+        # (blocks, channel-sublane, lane) layout: scattering into the
+        # row-major (b, hw, 3) view cost 76 ms of a 113 ms render (the
+        # 3-minor layout pads 3 -> 128 lanes, so the scatter's full-array
+        # copies moved ~40x the logical bytes). Padded entries (pos=-1)
+        # drop via an out-of-range block row.
+        vals = features[jnp.maximum(fovf_ids, 0)].astype(raw.dtype)
+        bi = fovf_pos // blk
+        lane = fovf_pos % blk
+        row = jnp.where(fovf_pos >= 0,
+                        jnp.arange(b, dtype=fovf_pos.dtype)[:, None] * nb
+                        + bi, b * nb)
+        raw = raw.at[row[:, :, None],
+                     jnp.arange(3)[None, None, :],
+                     lane[:, :, None]].set(vals, mode="drop")
+    out = raw[:, :3, :].transpose(0, 2, 1).reshape(b, nb * blk, 3)[:, :hw]
     res = (foff.shape, fseg.shape, fovf_pos.shape,
            bseg, bst, boff, ovf_pos, ovf_ids)
     return out, res
@@ -726,15 +748,25 @@ def run_uvt(
     masks_j = jnp.asarray(masks_bwd)
     history = []
     epoch_times: list[float] = []
-    for _ in range(cfg.epochs):
-        t0 = time.perf_counter()
+    # back-to-back dispatch, single sync (see run_exposure_align): the
+    # per-epoch loss fetch was a tunnel round-trip per epoch
+    t0 = time.perf_counter()
+    for e in range(cfg.epochs):
         idxs_all, masks_all = _epoch_batches(n, cfg.batch_size, rng)
         features, opt_state, losses = run_epoch(
             features, opt_state, frames, past_flows_j, masks_j,
             tables, jnp.asarray(idxs_all), jnp.asarray(masks_all)
         )
-        history.append(np.asarray(losses))  # host sync per epoch
-        epoch_times.append(time.perf_counter() - t0)
+        history.append(losses)
+        if e == 0:
+            np.asarray(losses)
+            epoch_times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+    if cfg.epochs > 1:
+        np.asarray(history[-1])
+        steady = (time.perf_counter() - t0) / (cfg.epochs - 1)
+        epoch_times.extend([steady] * (cfg.epochs - 1))
+    history = [np.asarray(l) for l in history]
     # final render (generate.py:529-532), frame-chunked to bound memory
     outs = []
     for c0 in range(0, n, init_bs):
