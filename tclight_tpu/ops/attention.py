@@ -188,6 +188,10 @@ def _flash_attention_pallas(
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d_pad), jnp.float32),
         ],
+        # v5e has 128 MB VMEM; the 16 MB default scope rejects block
+        # configs beyond 1024x2048 that measure faster at ToMe shapes
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(qp, kp, vp)
     out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     return out.transpose(0, 2, 1, 3)

@@ -167,6 +167,9 @@ def _greedy_match(
 # argmax runs online over dst chunks (see _greedy_match_chunked)
 _CHUNKED_MATCH_THRESHOLD = 2 ** 28
 _MATCH_CHUNK = 2048
+# above this score-tensor size the fused Pallas matmul+argmax kernel
+# beats the scan (measured crossover on v5e, ops/match_kernel.py)
+_KERNEL_MATCH_MIN_ELEMS = 2_000_000_000
 
 
 def _greedy_match_chunked(
@@ -189,6 +192,23 @@ def _greedy_match_chunked(
     bt = mn[:, b_idx]  # (B, D, C)
     s = a.shape[1]
     d = bt.shape[1]
+    from tclight_tpu.utils.device import use_pallas
+
+    if use_pallas() and b_n * s * d > _KERNEL_MATCH_MIN_ELEMS:
+        # fused matmul+argmax kernel: at large batchxscore sizes the scan
+        # below is bound by its (B, S, chunk) f32 score round-trips
+        # (B=8, 23760^2, C=320: scan 120 ms vs kernel 76 ms on v5e; at
+        # the default pipeline's B=2 shapes both are ~60 ms and the scan
+        # stays default). The kernel keeps score tiles in VMEM
+        # (ops/match_kernel.py) and matches DENSE tie semantics.
+        from tclight_tpu.ops.match_kernel import online_argmax_scores
+
+        node_max, node_idx = online_argmax_scores(a, bt)
+        edge_idx = jnp.argsort(-node_max)
+        src_idx = edge_idx[:r][None]
+        unm_idx = edge_idx[r:][None]
+        dst_idx = (node_idx[src_idx[0]] % d)[None]
+        return unm_idx, src_idx, dst_idx
     ck = _MATCH_CHUNK
     d_pad = -(-d // ck) * ck
     bt = jnp.pad(bt, ((0, 0), (0, d_pad - d), (0, 0)))

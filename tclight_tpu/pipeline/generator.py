@@ -1152,11 +1152,13 @@ class Generator:
                     qbs = 16
                     q = jax.jit(lambda f: jnp.clip(
                         f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
-                    clean_u8 = np.concatenate([
+                    # keep uint8: save_video/save_frames take it directly,
+                    # and the f32 round trip was a 250 MB host-side
+                    # convert that save_video immediately re-quantized
+                    clean_frames = np.concatenate([
                         np.asarray(q(clean_frames[i : i + qbs]))
                         for i in range(0, clean_frames.shape[0], qbs)
                     ])
-                    clean_frames = clean_u8.astype(np.float32) / 255.0
                 except Exception:  # noqa: BLE001
                     # a full device (e.g. right after a multi-GB UVT
                     # render) can refuse even the small slice; a direct
