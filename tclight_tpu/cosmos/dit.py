@@ -217,18 +217,28 @@ class GeneralDIT(nn.Module):
         return z.astype(jnp.float32)
 
 
-def make_edm_denoiser(model: GeneralDIT, params, context, sigma_data: float = 0.5):
+def make_edm_denoiser(model: GeneralDIT, params, context, sigma_data: float = 0.5,
+                      mesh=None):
     """Wrap the DiT as an EDM x0-prediction function (DiffusionT2WModel's
-    denoiser contract, model_t2w.py)."""
+    denoiser contract, model_t2w.py). With `mesh`, the forward runs
+    context-parallel: frame/token axis sharded over the mesh's 'data'
+    axis (parallel/sharded.build_cp_dit_forward; the reference's
+    Megatron `context_parallel_size` recipe knob, SURVEY §2.8)."""
     from tclight_tpu.cosmos.edm import EDMScaling
 
     scaling = EDMScaling(sigma_data)
+    if mesh is not None:
+        from tclight_tpu.parallel.sharded import build_cp_dit_forward
+
+        fwd = build_cp_dit_forward(model, mesh)
+    else:
+        fwd = lambda p, x, cn, ctx: model.apply(p, x, cn, ctx)  # noqa: E731
 
     def x0_fn(x, sigma):
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma), (x.shape[0],))
         c_skip, c_out, c_in, c_noise = scaling(sigma_b)
         bshape = (-1,) + (1,) * (x.ndim - 1)
-        f = model.apply(params, x * c_in.reshape(bshape), c_noise, context)
+        f = fwd(params, x * c_in.reshape(bshape), c_noise, context)
         return c_skip.reshape(bshape) * x + c_out.reshape(bshape) * f
 
     return x0_fn

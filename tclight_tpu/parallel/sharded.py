@@ -30,10 +30,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "build_parallel_denoise_step",
+    "build_cp_dit_forward",
     "build_sharded_uvt_step",
     "build_sharded_exposure_step",
     "pad_plans_to_rounds",
 ]
+
+
+def build_cp_dit_forward(model, mesh: Mesh):
+    """Context-parallel GeneralDIT forward: the video's frame axis — and
+    through the 3D patchify, the token axis — is sharded over 'data'.
+
+    The reference only carries CP as a Megatron recipe knob
+    (cosmos1/models/diffusion/nemo/inference/general.py:252
+    `context_parallel_size`, SURVEY §2.8); here it is a real execution
+    mode: each device holds T/cp of the video tokens, runs the DiT blocks
+    on its shard, and XLA inserts the K/V all-gathers that full self-
+    attention over the sharded sequence requires (ring-attention is the
+    follow-up if single-device K/V ever exceeds HBM).
+
+    fwd(params, x (B, T, H, W, C), c_noise (B,), context (B, S, Dc))
+    -> (B, T, H, W, C_out), sharded like x. T must be divisible by the
+    'data' axis size (pad frames to a multiple upstream).
+    """
+    x_sh = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(rep, x_sh, rep, rep),
+        out_shardings=x_sh,
+    )
+    def fwd(params, x, c_noise, context):
+        return model.apply(params, x, c_noise, context)
+
+    return fwd
 
 
 def pad_plans_to_rounds(plan_idx, plan_valid, round_size: int):

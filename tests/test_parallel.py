@@ -146,3 +146,51 @@ def test_generator_mesh_matches_single_device(tmp_path):
     assert ref.shape == mesh_out.shape
     np.testing.assert_allclose(ref, mesh_out, atol=2e-2)
     assert np.abs(ref - mesh_out).mean() < 2e-3
+
+
+@pytest.mark.slow
+def test_cp_dit_forward_matches_single_device():
+    """Context-parallel DiT (tokens sharded over 'data') must produce the
+    single-device forward exactly (XLA inserts the attention all-gathers;
+    the math is unchanged)."""
+    from tclight_tpu.cosmos.dit import DiTConfig, GeneralDIT
+    from tclight_tpu.parallel.sharded import build_cp_dit_forward
+
+    mesh = make_mesh(8, model_parallel=1)
+    cfg = DiTConfig.tiny()
+    model = GeneralDIT(cfg)
+    key = jax.random.PRNGKey(0)
+    b, t, h, w = 2, 8, 8, 8  # t divisible by the 8-way 'data' axis
+    x = jax.random.normal(key, (b, t, h, w, cfg.in_channels))
+    c_noise = jnp.asarray([0.3, 0.7])
+    ctx = jax.random.normal(key, (b, 16, cfg.context_dim))
+    params = model.init(key, x, c_noise, ctx)
+
+    ref = model.apply(params, x, c_noise, ctx)
+    fwd = build_cp_dit_forward(model, mesh)
+    with mesh:
+        out = fwd(params, x, c_noise, ctx)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_cp_edm_denoiser(monkeypatch):
+    """make_edm_denoiser(mesh=...) runs the CP forward and matches the
+    unsharded denoiser."""
+    from tclight_tpu.cosmos.dit import DiTConfig, GeneralDIT, make_edm_denoiser
+
+    mesh = make_mesh(8, model_parallel=1)
+    cfg = DiTConfig.tiny()
+    model = GeneralDIT(cfg)
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (1, 8, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(key, (1, 16, cfg.context_dim))
+    params = model.init(key, x, jnp.asarray([0.5]), ctx)
+
+    x0_ref = make_edm_denoiser(model, params, ctx)(x, 1.3)
+    with mesh:
+        x0_cp = make_edm_denoiser(model, params, ctx, mesh=mesh)(x, 1.3)
+    np.testing.assert_allclose(np.asarray(x0_cp), np.asarray(x0_ref),
+                               atol=2e-5, rtol=2e-5)
