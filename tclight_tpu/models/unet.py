@@ -155,6 +155,7 @@ class BasicTransformerBlock(nn.Module):
         bank: Optional[jnp.ndarray] = None,
         use_global: bool = False,
         pnp_attn: bool = False,
+        dup_after_attn1: bool = False,
     ):
         dim_head = self.dim // self.heads
         attn1 = Attention(
@@ -201,6 +202,15 @@ class BasicTransformerBlock(nn.Module):
         else:
             attn_out = attn1(h, inject_qk=pnp_attn)
         x = x + attn_out
+        if dup_after_attn1:
+            # CFG-prefix dedup (see UNet2DCondition.__call__ cfg_dedup):
+            # everything up to here ran on the single shared half; the
+            # [uncond | cond] pair first diverges at the cross-attention
+            # below, so duplicate tokens (and the bank this block
+            # produced) into the full CFG batch now
+            x = jnp.concatenate([x, x], axis=0)
+            if new_bank is not None:
+                new_bank = jnp.concatenate([new_bank, new_bank], axis=0)
         x = x + attn2(norm2(x), context)
         x = x + ff(norm3(x))
         return x, new_bank
@@ -220,18 +230,25 @@ class Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, merge_active, randf, flip, bank, use_global,
-                 pnp_attn: bool = False):
+                 pnp_attn: bool = False, dup_after_attn1: bool = False):
         b, h, w, c = x.shape
         residual = x
         z = nn.GroupNorm(self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         z = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(z)
         z = z.reshape(b, h * w, c)
+        if dup_after_attn1 and bank is not None:
+            # banks are stored at full CFG batch; this block computes on
+            # the shared half (the halves are identical by construction)
+            bank = bank[: bank.shape[0] // 2]
         z, new_bank = BasicTransformerBlock(
             self.channels, self.heads, self.context_dim, self.tome_spec,
             dtype=self.dtype, attn_backend=self.attn_backend,
             name="transformer_blocks_0",
-        )(z, context, merge_active, randf, flip, bank, use_global, pnp_attn)
-        z = z.reshape(b, h, w, c)
+        )(z, context, merge_active, randf, flip, bank, use_global, pnp_attn,
+          dup_after_attn1)
+        if dup_after_attn1:
+            residual = jnp.concatenate([residual, residual], axis=0)
+        z = z.reshape(residual.shape[0], h, w, c)
         z = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_out")(z)
         return z + residual, new_bank
 
@@ -267,12 +284,29 @@ class UNet2DCondition(nn.Module):
         pnp_conv: bool = False,
         down_residuals: Optional[list] = None,
         mid_residual: Optional[jnp.ndarray] = None,
+        cfg_dedup: bool = False,
     ):
         cfg = self.config
         ch = cfg.block_out_channels
         n_levels = len(ch)
         has_attn = [i < n_levels - 1 for i in range(n_levels)]
         h0, w0 = x.shape[1], x.shape[2]
+        # CFG-prefix dedup: `x` carries the SINGLE shared half of the
+        # [uncond | cond] pair (they are bit-identical until the first
+        # cross-attention), `context` the full CFG batch. The first
+        # attention block duplicates its tokens right before attn2
+        # (dup_after_attn1), after which everything runs at full batch —
+        # conv_in, the first resnet and the first (merged) self-attention
+        # run once instead of twice. Exact: per-sample ops are
+        # independent, and the align-batch matching is invariant to
+        # duplicating identical batch entries.
+        if cfg_dedup:
+            assert context.shape[0] == 2 * x.shape[0], (
+                "cfg_dedup: x is the shared half, context the full batch")
+            assert not pnp_attn and not pnp_conv, "cfg_dedup excludes PnP"
+            assert down_residuals is None and mid_residual is None, (
+                "cfg_dedup excludes ControlNet residuals")
+            assert len(ch) > 1, "cfg_dedup needs an attention level"
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (x.shape[0],))
         if randf is None:
@@ -284,6 +318,9 @@ class UNet2DCondition(nn.Module):
 
         temb = timestep_embedding(timesteps, ch[0])
         temb = TimestepEmbedding(ch[0] * 4, dtype=cfg.dtype, name="time_embedding")(temb)
+        temb_full = (jnp.concatenate([temb, temb], axis=0) if cfg_dedup
+                     else temb)
+        pending_dedup = cfg_dedup
 
         def make_attn(level: int, key: str):
             return Transformer2D(
@@ -294,19 +331,22 @@ class UNet2DCondition(nn.Module):
 
         h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=cfg.dtype,
                     name="conv_in")(x)
-        skips = [h]
+        skips = [jnp.concatenate([h, h], axis=0) if cfg_dedup else h]
 
         # down
         for lvl in range(n_levels):
             for blk in range(cfg.layers_per_block):
                 h = ResnetBlock2D(ch[lvl], dtype=cfg.dtype, groups=cfg.norm_groups,
-                                  name=f"down_{lvl}_res_{blk}")(h, temb)
+                                  name=f"down_{lvl}_res_{blk}")(
+                    h, temb if pending_dedup else temb_full)
                 if has_attn[lvl]:
                     key = f"down_{lvl}_attn_{blk}"
                     active = self._merge_active(h.shape[1], h.shape[2], h0, w0)
                     h, nb = make_attn(lvl, key)(
-                        h, context, active, randf, flip, banks.get(key), use_global
+                        h, context, active, randf, flip, banks.get(key),
+                        use_global, False, pending_dedup,
                     )
+                    pending_dedup = False
                     if nb is not None:
                         new_banks[key] = nb
                 skips.append(h)
@@ -324,7 +364,7 @@ class UNet2DCondition(nn.Module):
 
         # mid
         h = ResnetBlock2D(ch[-1], dtype=cfg.dtype, groups=cfg.norm_groups,
-                          name="mid_res_0")(h, temb)
+                          name="mid_res_0")(h, temb_full)
         key = "mid_attn"
         active = self._merge_active(h.shape[1], h.shape[2], h0, w0)
         h, nb = make_attn(n_levels - 1, key)(
@@ -333,7 +373,7 @@ class UNet2DCondition(nn.Module):
         if nb is not None:
             new_banks[key] = nb
         h = ResnetBlock2D(ch[-1], dtype=cfg.dtype, groups=cfg.norm_groups,
-                          name="mid_res_1")(h, temb)
+                          name="mid_res_1")(h, temb_full)
         if mid_residual is not None:
             h = h + mid_residual.astype(h.dtype)
 
@@ -343,7 +383,7 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(ch[lvl], dtype=cfg.dtype, groups=cfg.norm_groups,
-                                  name=f"up_{lvl}_res_{blk}")(h, temb)
+                                  name=f"up_{lvl}_res_{blk}")(h, temb_full)
                 # PnP feature injection site: up_blocks[1].resnets[1]
                 # (pnp_utils.py:161-162) == second up resnet of the
                 # second-coarsest level

@@ -36,7 +36,8 @@ from tclight_tpu.utils.device import compute_platform
 from tclight_tpu.pipeline.postopt import (
     PostOptConfig, flow_radius, run_exposure_align, run_uvt)
 from tclight_tpu.utils.logging import CostTracker, get_logger
-from tclight_tpu.utils.video_io import save_frames, save_video
+from tclight_tpu.utils.video_io import (
+    save_frames, save_video, save_video_stream)
 
 log = get_logger()
 
@@ -104,6 +105,9 @@ class Generator:
             max_downsample=_cfg_get(gen, "max_downsample", 2),
         )
         self.global_rand = _cfg_get(gen, "global_rand", 0.5)
+        # exact CFG-prefix dedup (see _pred_chunk); PnP/ControlNet paths
+        # have their own batch layouts and keep the plain forward
+        self.cfg_dedup = bool(_cfg_get(gen, "cfg_dedup", True))
 
         self.models = models.with_tome(self.tome_spec)
         self.scheduler = dataclasses.replace(
@@ -303,22 +307,36 @@ class Generator:
 
     def _pred_chunk(self, params, x_c, cc_c, embeds, t, randf, flip, banks,
                     use_global):
-        """CFG batch: [uncond frames | cond frames] (generate.py:296-301)."""
+        """CFG batch: [uncond frames | cond frames] (generate.py:296-301).
+
+        With `cfg_dedup` (default), the UNet takes the SINGLE shared half:
+        the pair is bit-identical until the first cross-attention, so
+        conv_in + the first resnet + the first (merged) self-attention run
+        once and the model duplicates tokens at the divergence point
+        (models/unet.py cfg_dedup) — exact, ~0.4 s/step at 960x720."""
         unet = self.models.unet
         g = self.guidance_scale
         cs = self.chunk_size
-        latent = jnp.concatenate([x_c, x_c], axis=0)
-        cc = jnp.concatenate([cc_c, cc_c], axis=0)
-        inp = self._shard_batch(
-            jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype))
         uncond, cond = embeds  # each (1, S, hidden)
         ctx = jnp.concatenate(
             [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
         ).astype(unet.config.dtype)
-        eps, banks = unet.apply(
-            params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
-            use_global=use_global,
-        )
+        if self.cfg_dedup:
+            inp = self._shard_batch(
+                jnp.concatenate([x_c, cc_c], axis=-1).astype(unet.config.dtype))
+            eps, banks = unet.apply(
+                params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+                use_global=use_global, cfg_dedup=True,
+            )
+        else:
+            latent = jnp.concatenate([x_c, x_c], axis=0)
+            cc = jnp.concatenate([cc_c, cc_c], axis=0)
+            inp = self._shard_batch(
+                jnp.concatenate([latent, cc], axis=-1).astype(unet.config.dtype))
+            eps, banks = unet.apply(
+                params, inp, t, ctx, randf=randf, flip=flip, banks=banks,
+                use_global=use_global,
+            )
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
         return eps_u + g * (eps_c - eps_u), banks
 
@@ -1141,35 +1159,16 @@ class Generator:
 
             if self.apply_opt and past_flows is not None:
                 self.stage_times["uvt"] = time.perf_counter() - t_s
+                # flows/masks are dead after post-opt (f16, ~1.7 GB at
+                # 300x1280x720): free them before the output fetch — a
+                # full device refuses even the small quantize slices
+                for buf in (flows_dev, masks_dev):
+                    if isinstance(buf, jax.Array):
+                        try:
+                            buf.delete()
+                        except Exception:  # noqa: BLE001
+                            pass
             t_out = time.perf_counter()
-            if (isinstance(clean_frames, jax.Array)
-                    and compute_platform() == "tpu"):
-                # quantize to uint8 on device: 4x less d2h over the slow
-                # tunnel, and the mp4 output is 8-bit anyway. Chunked so
-                # the temp never doubles a multi-GB video (and survives a
-                # post-OOM fragmented HBM). Local backends keep exact f32.
-                try:
-                    qbs = 16
-                    q = jax.jit(lambda f: jnp.clip(
-                        f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
-                    # keep uint8: save_video/save_frames take it directly,
-                    # and the f32 round trip was a 250 MB host-side
-                    # convert that save_video immediately re-quantized
-                    clean_frames = np.concatenate([
-                        np.asarray(q(clean_frames[i : i + qbs]))
-                        for i in range(0, clean_frames.shape[0], qbs)
-                    ])
-                except Exception:  # noqa: BLE001
-                    # a full device (e.g. right after a multi-GB UVT
-                    # render) can refuse even the small slice; a direct
-                    # d2h of the existing buffer allocates nothing
-                    log.warning("uint8 output path failed; fetching f32")
-                    clean_frames = np.asarray(clean_frames)
-            else:
-                clean_frames = np.asarray(clean_frames)
-            self.stage_times["output_fetch"] = time.perf_counter() - t_out
-            cost = tracker.finish(n, h, w)
-
             save_name = (
                 f"lmr_{self.tome_spec.local_ratio}_gmr_{self.tome_spec.global_ratio}"
                 f"_alpha_t_{self.alpha_t}_opt_{edit_name}"
@@ -1177,8 +1176,64 @@ class Generator:
             out_dir = Path(output_path) / save_name
             out_dir.mkdir(parents=True, exist_ok=True)
             fps = getattr(self.data_parser, "fps", 25)
-            save_video(clean_frames, out_dir / "output.mp4", fps=fps)
-            save_video(frames, out_dir / "output_gt.mp4", fps=fps)
+            # the GT encode only needs the host input frames: run it on a
+            # thread DURING the device fetch (cv2 encode + the d2h wait
+            # both release the GIL)
+            import threading
+
+            gt_thread = threading.Thread(
+                target=save_video, args=(frames, out_dir / "output_gt.mp4"),
+                kwargs={"fps": fps}, name="gt-mp4")
+            gt_thread.start()
+            if (isinstance(clean_frames, jax.Array)
+                    and compute_platform() == "tpu"):
+                # quantize to uint8 on device: 4x less d2h over the slow
+                # tunnel, and the mp4 output is 8-bit anyway. Chunked so
+                # the temp never doubles a multi-GB video (and survives a
+                # post-OOM fragmented HBM); chunks stream straight into
+                # the threaded mp4 writer so the encode overlaps the
+                # fetch. Local backends keep exact f32.
+                try:
+                    qbs = 16
+                    q = jax.jit(lambda f: jnp.clip(
+                        f * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8))
+                    # keep uint8: save_video/save_frames take it directly,
+                    # and the f32 round trip was a 250 MB host-side
+                    # convert that save_video immediately re-quantized
+                    fetched: list[np.ndarray] = []
+
+                    def _fetch_chunks():
+                        for i in range(0, clean_frames.shape[0], qbs):
+                            c = np.asarray(q(clean_frames[i : i + qbs]))
+                            fetched.append(c)
+                            yield c
+
+                    save_video_stream(
+                        _fetch_chunks(), out_dir / "output.mp4", fps=fps)
+                    clean_frames = np.concatenate(fetched)
+                except Exception:  # noqa: BLE001
+                    # a full device (e.g. right after a multi-GB UVT
+                    # render) can refuse even the small slice; fall back
+                    # to a whole-buffer d2h, then per-frame fetches (the
+                    # smallest possible device-side staging) as a last
+                    # resort
+                    log.warning("uint8 output path failed; fetching f32")
+                    try:
+                        clean_frames = np.asarray(clean_frames)
+                    except Exception:  # noqa: BLE001
+                        clean_frames = np.stack([
+                            np.asarray(clean_frames[i])
+                            for i in range(clean_frames.shape[0])
+                        ])
+                    save_video(clean_frames, out_dir / "output.mp4", fps=fps)
+            else:
+                clean_frames = np.asarray(clean_frames)
+                save_video(clean_frames, out_dir / "output.mp4", fps=fps)
+            # fetch and the two encodes overlap; report the combined wall
+            # as output_fetch and the host-only tail as output_save
+            self.stage_times["output_fetch"] = time.perf_counter() - t_out
+            cost = tracker.finish(n, h, w)
+            gt_thread.join()
             if self.save_frame:
                 save_frames(clean_frames, out_dir / "frames")
             self._save_run_config(out_dir, cost, edit_name, edit_prompt)

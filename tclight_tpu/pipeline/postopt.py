@@ -767,6 +767,16 @@ def run_uvt(
         steady = (time.perf_counter() - t0) / (cfg.epochs - 1)
         epoch_times.extend([steady] * (cfg.epochs - 1))
     history = [np.asarray(l) for l in history]
+    # the input frames are dead once the epochs are done (the render uses
+    # only features+tables): free them BEFORE allocating the rendered
+    # video — at 300x1280x720 both are 3.3 GB f32 and holding the pair
+    # left the device too full for even the chunked output fetch
+    # (measured RESOURCE_EXHAUSTED on the 16 GB v5e)
+    if isinstance(frames, jax.Array):
+        try:
+            frames.delete()
+        except Exception:  # noqa: BLE001 — committed/donated buffers
+            pass
     # final render (generate.py:529-532), frame-chunked to bound memory
     outs = []
     for c0 in range(0, n, init_bs):

@@ -119,6 +119,21 @@ def load_video(
     return arr
 
 
+def _open_mp4_writer(path: Path, fps: int, w: int, h: int):
+    import cv2
+
+    # prefer h264 (the reference writes x264 mp4); fall back to mp4v
+    # when no h264 encoder is available in this OpenCV build
+    for fourcc in ("avc1", "mp4v"):
+        writer = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
+        )
+        if writer.isOpened():
+            return writer
+        writer.release()
+    raise IOError(f"no usable mp4 encoder for {path}")
+
+
 def save_video(
     frames: np.ndarray,
     path: str | os.PathLike,
@@ -139,24 +154,67 @@ def save_video(
         import cv2
 
         h, w = frames.shape[1:3]
-        # prefer h264 (the reference writes x264 mp4); fall back to mp4v
-        # when no h264 encoder is available in this OpenCV build
-        writer = None
-        for fourcc in ("avc1", "mp4v"):
-            writer = cv2.VideoWriter(
-                str(path), cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
-            )
-            if writer.isOpened():
-                break
-            writer.release()
-            writer = None
-        if writer is None:
-            raise IOError(f"no usable mp4 encoder for {path}")
+        writer = _open_mp4_writer(path, fps, w, h)
         try:
             for f in frames:
                 writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         finally:
             writer.release()
+
+
+def save_video_stream(
+    chunks, path: str | os.PathLike, fps: int = 25
+) -> None:
+    """Save an iterator of (n_i, H, W, 3) frame chunks to mp4, encoding on
+    a writer thread concurrently with the producer. The producer's
+    device→host fetches release the GIL, so fetch and encode overlap
+    (the serial fetch-all-then-encode tail costs fetch+save; this costs
+    ~max(fetch, save))."""
+    import queue as _queue
+    import threading
+
+    import cv2
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    buf: _queue.Queue = _queue.Queue(maxsize=2)
+    errs: list[BaseException] = []
+
+    def _writer():
+        writer = None
+        try:
+            while True:
+                chunk = buf.get()
+                if chunk is None:
+                    return
+                chunk = np.asarray(chunk)
+                if chunk.dtype != np.uint8:
+                    chunk = (
+                        np.clip(chunk, 0.0, 1.0) * 255.0 + 0.5
+                    ).astype(np.uint8)
+                if writer is None:
+                    writer = _open_mp4_writer(
+                        path, fps, chunk.shape[2], chunk.shape[1])
+                for f in chunk:
+                    writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+            errs.append(e)
+        finally:
+            if writer is not None:
+                writer.release()
+
+    t = threading.Thread(target=_writer, name="mp4-writer")
+    t.start()
+    try:
+        for chunk in chunks:
+            buf.put(chunk)
+            if errs:
+                break
+    finally:
+        buf.put(None)
+        t.join()
+    if errs:
+        raise errs[0]
 
 
 def save_frames(

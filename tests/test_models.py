@@ -134,3 +134,43 @@ def test_clip_causal_mask():
     np.testing.assert_allclose(np.asarray(o1)[0, :-1], np.asarray(o2)[0, :-1],
                                atol=1e-5)
     assert np.abs(np.asarray(o1)[0, -1] - np.asarray(o2)[0, -1]).max() > 1e-4
+
+
+def test_unet_cfg_dedup_exact():
+    """cfg_dedup (shared-half input, duplicate at the first cross-attn)
+    must be EXACT vs the plain duplicated-batch forward — slot0 (bank
+    init) and a bank-carrying global-merge slot."""
+    import jax
+    import jax.numpy as jnp
+
+    from tclight_tpu.models.unet import ToMeSpec, UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig.tiny(in_channels=8)
+    spec = ToMeSpec(n_frames=4, local_ratio=0.5, merge_global=True,
+                    global_ratio=0.5, max_downsample=2)
+    unet = UNet2DCondition(cfg, tome_spec=spec)
+    key = jax.random.PRNGKey(0)
+    cs = 4
+    half = jax.random.normal(key, (cs, 16, 16, 8))
+    full = jnp.concatenate([half, half], axis=0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * cs, 77, cfg.context_dim))
+    params = jax.jit(unet.init)(key, full, jnp.asarray(1.0), ctx)
+
+    kw = dict(randf=jnp.int32(1), flip=jnp.bool_(False))
+    eps_ref, banks_ref = unet.apply(params, full, jnp.asarray(500.0), ctx,
+                                    use_global=False, **kw)
+    eps_dd, banks_dd = unet.apply(params, half, jnp.asarray(500.0), ctx,
+                                  use_global=False, cfg_dedup=True, **kw)
+    np.testing.assert_array_equal(np.asarray(eps_dd), np.asarray(eps_ref))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), banks_dd, banks_ref)
+
+    # bank-carrying slot (global merge active)
+    eps_ref2, nb_ref = unet.apply(params, full, jnp.asarray(400.0), ctx,
+                                  banks=banks_ref, use_global=True, **kw)
+    eps_dd2, nb_dd = unet.apply(params, half, jnp.asarray(400.0), ctx,
+                                banks=banks_ref, use_global=True,
+                                cfg_dedup=True, **kw)
+    np.testing.assert_array_equal(np.asarray(eps_dd2), np.asarray(eps_ref2))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), nb_dd, nb_ref)

@@ -61,3 +61,35 @@ def test_video_resize_on_load(tmp_path, rng):
     save_frames(frames, tmp_path / "f")
     loaded = load_video(tmp_path / "f", height=24, width=32)
     assert loaded.shape == (2, 24, 32, 3)
+
+
+def test_save_video_stream_matches_save_video(tmp_path):
+    from tclight_tpu.utils.video_io import save_video_stream
+
+    y = np.linspace(0, 1, 32)[None, :, None, None]
+    x = np.linspace(0, 1, 48)[None, None, :, None]
+    t = np.linspace(0, 1, 7)[:, None, None, None]
+    frames = np.broadcast_to((y * x + t) / 2.0, (7, 32, 48, 3)).astype(np.float32)
+    u8 = (frames * 255 + 0.5).astype(np.uint8)
+
+    save_video(u8, tmp_path / "whole.mp4", fps=8)
+    # uneven chunk split, mixed dtypes
+    save_video_stream(
+        iter([u8[:3], frames[3:5], u8[5:]]), tmp_path / "stream.mp4", fps=8)
+    assert count_frames(tmp_path / "stream.mp4") == 7
+    a = load_video(tmp_path / "whole.mp4")
+    b = load_video(tmp_path / "stream.mp4")
+    np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_save_video_stream_propagates_producer_error(tmp_path):
+    from tclight_tpu.utils.video_io import save_video_stream
+
+    def bad():
+        yield np.zeros((2, 16, 16, 3), np.uint8)
+        raise RuntimeError("boom")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        save_video_stream(bad(), tmp_path / "x.mp4", fps=8)
