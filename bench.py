@@ -246,6 +246,9 @@ def main() -> int:
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
             "negative_prompt": "low quality", "save_frame": False,
             "fuse_loop": bool(os.environ.get("BENCH_FUSE")),
+            # >1 fetches the per-step sync scalar every Nth step (deep
+            # async queues degrade axon pathologically; small N is safe)
+            "sync_every": int(os.environ.get("BENCH_SYNC_EVERY", 1)),
             "prompt": {"bench": "warm golden hour sunlight, photoreal"},
         },
         # Reference budgets are 35/70 epochs; each epoch at 960x720x30 costs
