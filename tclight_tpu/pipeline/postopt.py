@@ -394,7 +394,13 @@ _DENSE_MAP_MAX_BYTES = int(5e8)
 # verifies the precondition per video and falls back to the dense/sorted
 # paths otherwise (high-turnover real footage mixes track generations
 # inside scanline blocks, which breaks the single-window invariant).
-_BANDED_PLAN_MAX_BYTES = int(4e8)
+# The plans are device-resident int32; the budget below caps plans AND
+# plans+frames so the epoch's peak (frames f32 + f16 flows/masks + plans
+# + transients) stays inside a 16 GB chip — at 300x1280x720 / 1.78M
+# tracks the plans are ~3.3 GB and banded still wins ~6x per epoch over
+# the sorted-CSR adjoint.
+_BANDED_PLAN_MAX_BYTES = int(3.5e9)
+_BANDED_PLAN_PLUS_FRAMES_MAX_BYTES = int(7.5e9)
 
 # single-slot cache of built UVT tables (see build_uvt_tables docstring)
 _UVT_TABLE_CACHE: dict = {}
@@ -564,7 +570,18 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
     if allow_banded:
         plan_bytes = 4 * 512 * n * (banded.row_blocks(hw)
                                     + banded.row_blocks(p_pad))
-        if plan_bytes <= _BANDED_PLAN_MAX_BYTES:
+        if (plan_bytes <= _BANDED_PLAN_MAX_BYTES
+                and plan_bytes + 4 * n * hw * 3
+                <= _BANDED_PLAN_PLUS_FRAMES_MAX_BYTES
+                # cheap sampled pre-check: long videos accumulate track
+                # generations until ~25-30% of a frame's ids live outside
+                # any single scanline window (measured at 300x1280x720;
+                # window size does not help — the misses are multi-band).
+                # Planning a few late frames first avoids paying the full
+                # planner (~2 min host at 300 frames) before the
+                # inevitable rejection. Next lever: a K-window kernel.
+                and banded.plan_banded_gather_rows_robust(
+                    inv_np[:: max(1, n // 4)][:4])[-1]):
             fseg, fst, foff, fop, foi, fok = \
                 banded.plan_banded_gather_rows_robust(inv_np)
             if fok:
