@@ -32,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["plan_banded_gather", "pack_table", "banded_gather",
-           "banded_gather_xla"]
+           "banded_gather_xla", "plan_banded_gather_rows_multi",
+           "banded_gather_multi", "banded_gather_xla_multi"]
 
 _CPAD = 8      # sublane-padded channel count of the packed table
 _TILE = 128    # ids per packed tile (= vreg lanes)
@@ -221,6 +222,124 @@ def plan_banded_gather_rows_robust(indices: np.ndarray, block: int = 512,
             offs.reshape(r, nb, block), ovf_pos, ovf_ids, ok)
 
 
+def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
+                n_windows: int, max_ovf_frac: float):
+    """K-window planning core: greedy residual passes.
+
+    Long videos accumulate track creation generations until scanline
+    blocks mix ids from SEVERAL far-apart bands (measured 28.7% of
+    entries outside any single window at 300x1280x720 — and growing the
+    window does not help, the misses are multi-band).  Pass k plans the
+    best single window per block over the entries the first k-1 passes
+    could not cover; covered entries encode their window in the offset
+    (`offs = k*window + (id - lo_k)`), so the offs array stays ONE
+    (NB, block) int32 — plan memory does not grow with K.  Blocks whose
+    pass-k windows would blow the per-group DMA segment are demoted for
+    that pass only (their entries stay in the residual for pass k+1).
+
+    Returns (seg_starts (NG, K), starts (NB, K), offs (NB, block),
+    ovf_mask, ok)."""
+    idx = np.asarray(indices)
+    big = int(idx.max(initial=0)) + window + _TILE >= 2**31
+    idx = idx.astype(np.int64 if big else np.int32, copy=False)
+    sentinel = np.iinfo(idx.dtype).max // 2
+    rows = idx.reshape(-1, idx.shape[-1]) if idx.ndim > 1 else idx[None]
+    length = rows.shape[1]
+    pad = (-length) % (block * group)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.full((rows.shape[0], pad), -1, idx.dtype)], axis=1)
+    blocks = rows.reshape(-1, block)
+    live = blocks >= 0
+    residual = live.copy()
+    segn_ids = seg_tiles(window, block, group) * _TILE
+    offs = np.full(blocks.shape, -1, np.int32)
+    seg_list, lo_list = [], []
+    for k in range(n_windows):
+        # canonical band order: every pass takes each block's LOWEST
+        # still-uncovered ids (aligned-min window).  Neighboring blocks
+        # hold the same creation generations in the same order, so their
+        # pass-k windows land near each other and per-group DMA segments
+        # stay tight — a best-coverage choice here let adjacent blocks
+        # pick windows in DIFFERENT bands (~40k ids apart), blowing every
+        # group segment and demote-thrashing the plan.
+        any_r = residual.any(axis=1)
+        bmin = np.where(
+            any_r, np.min(blocks, axis=1, where=residual, initial=sentinel),
+            0)
+        lo = (bmin // _TILE) * _TILE
+        lo = np.where(any_r, lo, -1)            # no pass-k window
+        # per-group segment: min start when all windows fit one segment,
+        # else anchor at the group's live-median start and demote blocks
+        # escaping [anchor, anchor + segn - window] back to the residual
+        lo_g = lo.reshape(-1, group)
+        live_g = lo_g >= 0
+        n_live_g = live_g.sum(axis=1)
+        lo_s = np.sort(np.where(live_g, lo_g, sentinel), axis=1)
+        pick = np.maximum((n_live_g - 1) // 2, 0)
+        anchor = np.take_along_axis(lo_s, pick[:, None], axis=1)[:, 0]
+        anchor = np.where(n_live_g > 0, anchor, 0)
+        seg_min = np.where(
+            n_live_g > 0, np.min(np.where(live_g, lo_g, sentinel), axis=1),
+            0)
+        seg_max = np.max(np.where(live_g, lo_g, -1), axis=1)
+        viol = (n_live_g > 0) & ((seg_max - seg_min) + window > segn_ids)
+        fit = (live_g & (lo_g >= anchor[:, None])
+               & (lo_g + window <= anchor[:, None] + segn_ids))
+        demote = np.repeat(viol, group) & ~fit.reshape(-1)
+        lo = np.where(demote, -1, lo)
+        seg_start = np.where(viol, anchor, seg_min)
+        # dead/demoted blocks borrow the segment start (t0 = 0; their
+        # entries never encode pass k, so the selects can never hit)
+        lo_final = np.where(lo >= 0, lo, np.repeat(seg_start, group))
+        in_win = (residual & (lo >= 0)[:, None]
+                  & (blocks >= lo_final[:, None])
+                  & (blocks < lo_final[:, None] + window))
+        offs = np.where(in_win,
+                        (k * window + blocks - lo_final[:, None]
+                         ).astype(np.int32), offs)
+        residual &= ~in_win
+        seg_list.append(seg_start.astype(np.int32))
+        lo_list.append(lo_final.astype(np.int32))
+    ovf_mask = live & residual
+    n_live = int(live.sum())
+    ok = int(ovf_mask.sum()) <= max_ovf_frac * max(n_live, 1)
+    return (np.stack(seg_list, axis=1), np.stack(lo_list, axis=1),
+            offs, ovf_mask, bool(ok))
+
+
+def plan_banded_gather_rows_multi(indices: np.ndarray, block: int = 512,
+                                  window: int = 2048, group: int = 8,
+                                  n_windows: int = 3,
+                                  max_ovf_frac: float = 0.08):
+    """K-window per-row plans for an (R, L) index array:
+    (seg (R, NG, K), starts (R, NB, K), offs (R, NB, block),
+    ovf_pos (R, Kov), ovf_ids (R, Kov), ok).
+
+    offs values live in [0, n_windows*window) — offs // window selects
+    the block's window, offs % window the position inside it.  Entries
+    no window covers are overflow exactly as in the robust single-window
+    planner (kernel emits zero rows; caller patches)."""
+    r, length = indices.shape
+    seg, starts, offs, ovf_mask, ok = _plan_multi(
+        indices, block, window, group, n_windows, max_ovf_frac)
+    nb = row_blocks(length, block, group)
+    lpad = nb * block
+    ovf = ovf_mask.reshape(r, lpad)[:, :length]
+    idx = np.asarray(indices)
+    pos_list = [np.nonzero(ovf[i])[0] for i in range(r)]
+    kov = max((len(p) for p in pos_list), default=0)
+    ovf_pos = np.full((r, kov), -1, np.int32)
+    ovf_ids = np.zeros((r, kov), np.int32)
+    for i, p in enumerate(pos_list):
+        ovf_pos[i, : len(p)] = p
+        ovf_ids[i, : len(p)] = idx[i, p]
+    ng = nb // group
+    return (seg.reshape(r, ng, n_windows),
+            starts.reshape(r, nb, n_windows),
+            offs.reshape(r, nb, block), ovf_pos, ovf_ids, ok)
+
+
 def frame_tiles(length: int) -> int:
     """Packed 128-id tiles per frame row of `pack_frames`."""
     return (length + _TILE - 1) // _TILE
@@ -244,15 +363,18 @@ def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8):
     return flat.transpose(0, 2, 1)
 
 
-def _select(wref, t0, offs, window):
+def _select(wref, t0, offs, window, out=None):
     """Select (8, BL) from packed window tiles wref[t0 + j] (8, 128) at
     offsets offs (1, BL) via vreg-tiled tpu.dynamic_gather. Outputs stay
     channel-sublane / id-lane: transposing to (BL, 8) inside the kernel
     forced an 8-lane-minor store layout that wasted 15/16 of every store
-    vreg (measured 2.6x on the whole gather)."""
+    vreg (measured 2.6x on the whole gather).  `out` threads an
+    accumulator across multiple windows (K-window kernel): offsets
+    outside [0, window) never hit, so disjoint windows compose."""
     bl = offs.shape[1]
     offs8 = jnp.broadcast_to(offs, (_CPAD, bl))          # (8, BL)
-    out = jnp.zeros((_CPAD, bl), jnp.float32)
+    if out is None:
+        out = jnp.zeros((_CPAD, bl), jnp.float32)
     for j in range(window // _TILE):
         src = wref[t0 + j]                               # (8, 128)
         local = offs8 - j * _TILE
@@ -299,6 +421,44 @@ def _kernel(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win, sem,
         out_ref[u] = _select(win.at[slot], t0, offs_ref[u][None], window)  # (8, BL)
 
 
+def _kernel_multi(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win,
+                  sem, *, window, nwin):
+    # K-window variant: K contiguous segment DMAs per grid step (one per
+    # window slot), double-buffered like the single-window kernel; the
+    # select accumulates across the K windows (offs encode the window as
+    # offs // window, so each entry hits in exactly one pass).
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    group = offs_ref.shape[0]
+    segn = win.shape[2]
+    slot = jax.lax.rem(g, 2)
+
+    def seg_dma(gi, s, k):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(seg_ref[gi, k] // _TILE, segn)],
+            win.at[s, k], sem.at[s, k])
+
+    @pl.when(g == 0)
+    def _first():
+        for k in range(nwin):
+            seg_dma(0, 0, k).start()
+
+    @pl.when(g + 1 < ng)
+    def _next():
+        for k in range(nwin):
+            seg_dma(g + 1, 1 - slot, k).start()
+
+    for k in range(nwin):
+        seg_dma(g, slot, k).wait()
+    for u in range(group):
+        out = None
+        for k in range(nwin):
+            t0 = (starts_ref[g * group + u, k] - seg_ref[g, k]) // _TILE
+            out = _select(win.at[slot, k], t0,
+                          (offs_ref[u] - k * window)[None], window, out)
+        out_ref[u] = out                                  # (8, BL)
+
+
 try:  # pallas TPU imports (unavailable on some CPU-only builds)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -336,6 +496,59 @@ def _banded_gather_call(packed, seg_starts, starts, offs,
         out_shape=jax.ShapeDtypeStruct((nb, _CPAD, bl), jnp.float32),
         interpret=interpret,
     )(seg_starts, starts, offs, packed)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "group",
+                                             "interpret"))
+def _banded_gather_call_multi(packed, seg_starts, starts, offs,
+                              window: int = 2048, group: int = 8,
+                              interpret: bool = False):
+    nb, bl = offs.shape
+    nwin = starts.shape[1]
+    assert nb % group == 0, (nb, group)
+    assert seg_starts.shape == (nb // group, nwin), (seg_starts.shape,)
+    segn = seg_tiles(window, bl, group)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb // group,),
+        in_specs=[
+            pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((group, _CPAD, bl),
+                               lambda g, seg, starts: (g, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, nwin, segn, _CPAD, _TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nwin)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_multi, window=window, nwin=nwin),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, _CPAD, bl), jnp.float32),
+        interpret=interpret,
+    )(seg_starts, starts, offs, packed)
+
+
+def banded_gather_multi(packed, seg_starts, starts, offs,
+                        channels: int = 3, window: int = 2048,
+                        group: int = 8, interpret: bool = False):
+    """K-window gather: packed (NT, 8, 128), seg_starts (NG, K),
+    starts (NB, K), offs (NB, BL) with window-encoding offsets
+    -> (NB, BL, channels) f32."""
+    out = _banded_gather_call_multi(packed, seg_starts, starts, offs,
+                                    window, group, interpret)
+    return out[:, :channels, :].transpose(0, 2, 1)
+
+
+def banded_gather_xla_multi(table, starts, offs, window: int = 2048):
+    """Reference/fallback for the K-window plan (table row-major (P, C));
+    masked entries (offs < 0) produce 0 rows."""
+    k = jnp.maximum(offs, 0) // window
+    lo = jnp.take_along_axis(starts, k, axis=1)
+    idx = jnp.maximum(lo + jnp.maximum(offs, 0) - k * window, 0)
+    out = table[idx].astype(jnp.float32)
+    return jnp.where((offs >= 0)[..., None], out, 0.0)
 
 
 def banded_gather_xla(table, starts, offs):

@@ -434,9 +434,16 @@ def _palette_gather_banded_fwd(dims, features, fseg, fst, foff, fovf_pos,
     hw, _ = dims
     b, nb, blk = foff.shape
     packed = banded.pack_table(features)
-    raw = banded._banded_gather_call(
-        packed, fseg.reshape(-1), fst.reshape(-1), foff.reshape(-1, blk),
-        interpret=_banded_interpret())          # (b*nb, CPAD, blk)
+    if fst.ndim == 3:                           # K-window plans (long video)
+        raw = banded._banded_gather_call_multi(
+            packed, fseg.reshape(-1, fseg.shape[-1]),
+            fst.reshape(-1, fst.shape[-1]), foff.reshape(-1, blk),
+            interpret=_banded_interpret())      # (b*nb, CPAD, blk)
+    else:
+        raw = banded._banded_gather_call(
+            packed, fseg.reshape(-1), fst.reshape(-1),
+            foff.reshape(-1, blk),
+            interpret=_banded_interpret())      # (b*nb, CPAD, blk)
     if fovf_pos.shape[1]:
         # exact patch for window-miss pixels, applied IN THE KERNEL'S
         # (blocks, channel-sublane, lane) layout: scattering into the
@@ -467,10 +474,17 @@ def _palette_gather_banded_bwd(dims, res, g):
     c = g.shape[-1]
     packed_g = banded.pack_frames(g)
     base = jnp.arange(b, dtype=jnp.int32) * (banded.frame_tiles(hw) * 128)
-    per = banded.banded_gather(
-        packed_g, (bseg + base[:, None]).reshape(-1),
-        (bst + base[:, None]).reshape(-1), boff.reshape(-1, blk),
-        interpret=_banded_interpret())
+    if bst.ndim == 3:                           # K-window adjoint plans
+        per = banded.banded_gather_multi(
+            packed_g, (bseg + base[:, None, None]).reshape(-1,
+                                                           bseg.shape[-1]),
+            (bst + base[:, None, None]).reshape(-1, bst.shape[-1]),
+            boff.reshape(-1, blk), interpret=_banded_interpret())
+    else:
+        per = banded.banded_gather(
+            packed_g, (bseg + base[:, None]).reshape(-1),
+            (bst + base[:, None]).reshape(-1), boff.reshape(-1, blk),
+            interpret=_banded_interpret())
     adj = per.reshape(b, nbt * blk, 3).sum(axis=0)[:p_pad]
     if ovf_pos.shape[1]:
         gpad = jnp.concatenate([g, jnp.zeros((b, 1, c), g.dtype)], axis=1)
@@ -543,6 +557,68 @@ def render_palette(features_dc: jnp.ndarray, unq_inv: jnp.ndarray,
     return rgb.reshape(shape)
 
 
+def kinematic_relabel(inv_np: np.ndarray, p_pad: int) -> np.ndarray:
+    """Renumber tracks by mean scanline position so per-frame ids become
+    near-monotone again on long videos.
+
+    Track numbering is OURS to choose: the palette is indexed by these
+    ids and learned per track, so any consistent permutation is exact.
+    `get_flowid` numbers tracks by creation order, which interleaves
+    creation generations spatially — by frame ~300 the born-at-the-edge
+    strips turn per-frame ids into a ~720 ids/px ramp that no gather
+    window covers (PERF_NOTES round 3).  But smooth flow preserves the
+    relative scanline order of pixels, so ranking tracks by their MEAN
+    flat position (over the frames where they are visible) restores a
+    near-monotone id structure in every frame simultaneously; residual
+    order violations (occlusions, fast motion) land in the robust
+    planner's exact overflow patch.
+
+    Host cost ~n x bincount(hw) + one argsort(p): seconds, cached with
+    the tables."""
+    n, hw = inv_np.shape
+    flat = inv_np.reshape(-1)
+    counts = np.bincount(flat, minlength=p_pad)
+    pos = np.arange(hw, dtype=np.float64)
+    sums = np.zeros(p_pad, np.float64)
+    for t in range(n):  # frame-chunked: bounds the bincount temp memory
+        sums += np.bincount(inv_np[t], weights=pos, minlength=p_pad)
+    mean = sums / np.maximum(counts, 1)
+    mean[counts == 0] = np.inf  # palette pad rows rank last
+    order = np.argsort(mean, kind="stable").astype(np.int32)
+    rank = np.empty(p_pad, np.int32)
+    rank[order] = np.arange(p_pad, dtype=np.int32)
+    return rank[inv_np]
+
+
+def _build_banded_tables(plan_fn, inv_np, n, hw, p_pad, plan_bytes, nwin):
+    """Plan both gather directions with `plan_fn` (single- or K-window
+    robust planner) and assemble the 10-tuple banded tables, or None if
+    either direction's full plan rejects the ids."""
+    fseg, fst, foff, fop, foi, fok = plan_fn(inv_np)
+    if not fok:
+        return None
+    inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(inv_np, p_pad)
+    pos = np.where(inv_map_np == hw, -1, inv_map_np)
+    bseg, bst, boff, bop, boi, bok = plan_fn(pos)
+    if not bok:
+        return None
+    from tclight_tpu.utils.logging import get_logger
+
+    # bwd window misses: planner rows are TRACKS and values are pixel
+    # positions — swap into the (pixel position, track id) collision
+    # convention and merge into one segment-sum patch
+    bop_pix = np.where(bop >= 0, boi, hw).astype(np.int32)
+    bop_trk = np.where(bop >= 0, bop, p_pad).astype(np.int32)
+    op_all = np.concatenate([ovf_pos_np, bop_pix], axis=1)
+    oi_all = np.concatenate([ovf_ids_np, bop_trk], axis=1)
+    get_logger().info(
+        "UVT: banded-gather fast path active (%d tracks, %d window(s)/"
+        "block, plans %.0f MB, overflow fwd %d + bwd %d cols)",
+        p_pad, nwin, plan_bytes / 1e6, fop.shape[1], op_all.shape[1])
+    return tuple(jnp.asarray(a) for a in (
+        fseg, fst, foff, fop, foi, bseg, bst, boff, op_all, oi_all))
+
+
 def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
                      p_pad: int, allow_banded: bool | None = None):
     """Static per-frame palette-index tables. Returns (tables, inv_np):
@@ -572,45 +648,46 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
                                     + banded.row_blocks(p_pad))
         if (plan_bytes <= _BANDED_PLAN_MAX_BYTES
                 and plan_bytes + 4 * n * hw * 3
-                <= _BANDED_PLAN_PLUS_FRAMES_MAX_BYTES
-                # cheap sampled pre-check: long videos accumulate track
-                # generations until ~25-30% of a frame's ids live outside
-                # any single scanline window (measured at 300x1280x720;
-                # window size does not help — the misses are multi-band).
-                # Planning a few late frames first avoids paying the full
-                # planner (~2 min host at 300 frames) before the
-                # inevitable rejection. Next lever: a K-window kernel.
-                and banded.plan_banded_gather_rows_robust(
-                    inv_np[:: max(1, n // 4)][:4])[-1]):
-            fseg, fst, foff, fop, foi, fok = \
-                banded.plan_banded_gather_rows_robust(inv_np)
-            if fok:
-                inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(
-                    inv_np, p_pad)
-                pos = np.where(inv_map_np == hw, -1, inv_map_np)
-                bseg, bst, boff, bop, boi, bok = \
-                    banded.plan_banded_gather_rows_robust(pos)
-                if bok:
+                <= _BANDED_PLAN_PLUS_FRAMES_MAX_BYTES):
+            # cheap sampled pre-check: long videos accumulate track
+            # generations until ~25-30% of a frame's ids live outside
+            # any single scanline window (measured at 300x1280x720;
+            # window size does not help — the misses are MULTI-BAND or
+            # creation-order RAMPS).  Planning a few late frames first
+            # picks the cheapest plan that covers the video (K=1, then
+            # the K-window planner, then both again on kinematically
+            # relabeled ids) without paying the full planner (~2 min
+            # host at 300 frames) per rejected candidate.
+            def pick_plan(ids):
+                sample = ids[:: max(1, n // 4)][:4]
+                if banded.plan_banded_gather_rows_robust(sample)[-1]:
+                    return banded.plan_banded_gather_rows_robust, 1
+                for k in (2, 3):
+                    if banded.plan_banded_gather_rows_multi(
+                            sample, n_windows=k)[-1]:
+                        return (functools.partial(
+                            banded.plan_banded_gather_rows_multi,
+                            n_windows=k), k)
+                return None, 0
+
+            used_inv = inv_np
+            plan_fn, nwin = pick_plan(inv_np)
+            if plan_fn is None:
+                relabeled = kinematic_relabel(inv_np, p_pad)
+                plan_fn, nwin = pick_plan(relabeled)
+                if plan_fn is not None:
                     from tclight_tpu.utils.logging import get_logger
 
-                    # bwd window misses: planner rows are TRACKS and
-                    # values are pixel positions — swap into the
-                    # (pixel position, track id) collision convention
-                    # and merge into one segment-sum patch
-                    bop_pix = np.where(bop >= 0, boi, hw).astype(np.int32)
-                    bop_trk = np.where(bop >= 0, bop, p_pad).astype(np.int32)
-                    op_all = np.concatenate([ovf_pos_np, bop_pix], axis=1)
-                    oi_all = np.concatenate([ovf_ids_np, bop_trk], axis=1)
                     get_logger().info(
-                        "UVT: banded-gather fast path active (%d tracks, "
-                        "plans %.0f MB, overflow fwd %d + bwd %d cols)",
-                        p_pad, plan_bytes / 1e6, fop.shape[1],
-                        op_all.shape[1])
-                    tables = tuple(jnp.asarray(a) for a in (
-                        fseg, fst, foff, fop, foi, bseg, bst, boff,
-                        op_all, oi_all))
-                    _UVT_TABLE_CACHE["slot"] = (key, tables, inv_np)
-                    return tables, inv_np
+                        "UVT: kinematic track relabeling restored the "
+                        "banded id structure (%d windows/block)", nwin)
+                    used_inv = relabeled
+            tables = (_build_banded_tables(plan_fn, used_inv, n, hw,
+                                           p_pad, plan_bytes, nwin)
+                      if plan_fn is not None else None)
+            if tables is not None:
+                _UVT_TABLE_CACHE["slot"] = (key, tables, used_inv)
+                return tables, used_inv
     dense_map = n * p_pad * 4 <= _DENSE_MAP_MAX_BYTES
     unq_inv_frames = jnp.asarray(inv_np)
     if dense_map:

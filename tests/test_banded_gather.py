@@ -163,6 +163,152 @@ def test_uvt_banded_tolerates_sparse_generation_mixing():
     assert np.abs(np.asarray(gb)[zero_rows]).max(initial=0) == 0
 
 
+def _multi_band_ids(n, h, w, bands=3, seed=0):
+    """Per-frame ids mixing `bands` creation generations inside every
+    scanline block (each generation scanline-ordered among itself) — the
+    structure real `get_flowid` ids develop by frame ~300, where no
+    single window covers a block (PERF_NOTES round 3)."""
+    hw = h * w
+    ids = _roll_ids(n, h, w).copy()
+    for g in range(1, bands):
+        m = np.zeros(hw, bool)
+        m[g::bands] = True
+        gen = np.arange(m.sum()) + g * (hw + 40_000) + 177
+        for t in range(1, n):
+            ids[t, np.roll(m, 3 * t * g)] = gen
+    return ids
+
+
+def test_multi_window_planner_covers_multi_band():
+    ids = _multi_band_ids(3, 8, 512)
+    # single-window robust planning must NOT cover this (that is the
+    # whole point of the K-window planner)
+    assert not bg.plan_banded_gather_rows_robust(ids)[-1]
+    seg, st, offs, op, oi, ok = bg.plan_banded_gather_rows_multi(
+        ids, n_windows=3)
+    assert ok
+    nb = bg.row_blocks(ids.shape[1])
+    assert st.shape == (3, nb, 3) and seg.shape[2] == 3
+    assert offs.max() < 3 * 2048
+
+
+def test_multi_window_kernel_matches_xla_interpret():
+    blk, win, k = 256, 512, 3
+    ids = _multi_band_ids(1, 4, 256, bands=3)
+    ids[0, 40:50] = -1  # masked entries -> zero rows
+    seg, st, offs, op, oi, ok = bg.plan_banded_gather_rows_multi(
+        ids, block=blk, window=win, n_windows=k)
+    assert ok
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((int(ids.max()) + 1, 3)),
+                        jnp.float32)
+    packed = bg.pack_table(table, window=win, block=blk)
+    out = bg.banded_gather_multi(
+        packed, jnp.asarray(seg).reshape(-1, k),
+        jnp.asarray(st).reshape(-1, k), jnp.asarray(offs).reshape(-1, blk),
+        window=win, interpret=jax.default_backend() != "tpu")
+    ref = bg.banded_gather_xla_multi(
+        table, jnp.asarray(st).reshape(-1, k),
+        jnp.asarray(offs).reshape(-1, blk), window=win)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # masked entries are zero rows
+    assert np.abs(np.asarray(out).reshape(-1, 3)[40:50]).max() == 0
+
+
+@pytest.mark.slow
+def test_uvt_multi_window_tables_match_dense():
+    """Multi-band ids activate the K-window banded path in
+    build_uvt_tables and stay EXACT vs the dense inverse-map path, both
+    directions."""
+    n, h, w = 3, 8, 512
+    hw = h * w
+    ids = _multi_band_ids(n, h, w)
+    p_pad = max(128, -(-int(ids.max() + 1) // 128) * 128)
+    tb, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
+                                allow_banded=True)
+    td, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
+                                allow_banded=False)
+    assert len(tb) == 10 and tb[1].ndim == 3, "K-window plans expected"
+    feats = jnp.asarray(
+        np.random.default_rng(2).standard_normal((p_pad, 3)), jnp.float32)
+    idx = jnp.asarray([2, 0])
+    fb = po.uvt_gather(feats, tb, idx, hw=hw)
+    fd = po.uvt_gather(feats, td, idx, hw=hw)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((2, hw, 3)), jnp.float32)
+    gb = jax.vjp(lambda f: po.uvt_gather(f, tb, idx, hw=hw), feats)[1](cot)[0]
+    gd = jax.vjp(lambda f: po.uvt_gather(f, td, idx, hw=hw), feats)[1](cot)[0]
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gd),
+                               rtol=0, atol=1e-5)
+
+
+def _rolling_flowid_ids(n, h, w, shift=2):
+    """Emulate get_flowid on a rolling video: pixels shift right by
+    `shift` px/frame, new tracks are born at the left edge each frame in
+    scanline order.  By frame n the regenerated arc is a ~h ids/px RAMP
+    (creation generations interleave by column strip) that no gather
+    window covers — the structure that rejected the banded planner at
+    300x1280x720 (PERF_NOTES round 3)."""
+    hw = h * w
+    next_id = hw
+    grid = np.arange(hw).reshape(h, w)
+    frames = [grid.copy()]
+    for _ in range(1, n):
+        g = np.empty_like(grid)
+        g[:, shift:] = frames[-1][:, :-shift]
+        g[:, :shift] = np.arange(h * shift).reshape(h, shift) + next_id
+        next_id += h * shift
+        frames.append(g)
+    return np.stack([f.reshape(-1) for f in frames])
+
+
+@pytest.mark.slow
+def test_uvt_kinematic_relabel_restores_banded():
+    """Ramp-structured ids reject both the single- and K-window planners
+    on raw creation-order ids, but kinematic relabeling (tracks ranked by
+    mean scanline position) restores a banded structure; results must
+    stay EXACT vs the dense path computed on the RAW ids."""
+    n, h, w = 64, 64, 512
+    hw = h * w
+    ids = _rolling_flowid_ids(n, h, w, shift=8)
+    sample = ids[:: n // 4][:4]
+    assert not bg.plan_banded_gather_rows_robust(sample)[-1]
+    assert not bg.plan_banded_gather_rows_multi(sample, n_windows=3)[-1]
+    rel = po.kinematic_relabel(ids, -(-int(ids.max() + 1) // 128) * 128)
+    assert (bg.plan_banded_gather_rows_robust(rel[:: n // 4][:4])[-1]
+            or bg.plan_banded_gather_rows_multi(
+                rel[:: n // 4][:4], n_windows=2)[-1])
+    p_pad = -(-int(ids.max() + 1) // 128) * 128
+    tb, inv_b = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
+                                    allow_banded=True)
+    td, inv_d = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
+                                    allow_banded=False)
+    assert len(tb) == 10, "relabeled banded path should activate"
+    # the relabeling is a permutation: same per-frame track multisets
+    assert np.array_equal(np.sort(np.unique(inv_b)), np.sort(np.unique(inv_d)))
+    rng = np.random.default_rng(5)
+    feats_raw = jnp.asarray(rng.standard_normal((p_pad, 3)), jnp.float32)
+    # express the same per-track features in both numberings via the
+    # pixel correspondence (inv_d[i] -> inv_b[i] is the id permutation)
+    perm = np.full(p_pad, -1, np.int64)
+    perm[inv_d.reshape(-1)] = inv_b.reshape(-1)
+    used = perm >= 0
+    feats_b = np.zeros((p_pad, 3), np.float32)
+    feats_b[perm[used]] = np.asarray(feats_raw)[used]
+    feats_b = jnp.asarray(feats_b)
+    idx = jnp.asarray([0, n - 1, n // 2])
+    fb = po.uvt_gather(feats_b, tb, idx, hw=hw)
+    fd = po.uvt_gather(feats_raw, td, idx, hw=hw)
+    np.testing.assert_array_equal(np.asarray(fb), np.asarray(fd))
+    cot = jnp.asarray(rng.standard_normal((3, hw, 3)), jnp.float32)
+    gb = jax.vjp(lambda f: po.uvt_gather(f, tb, idx, hw=hw), feats_b)[1](cot)[0]
+    gd = jax.vjp(lambda f: po.uvt_gather(f, td, idx, hw=hw), feats_raw)[1](cot)[0]
+    gb_np, gd_np = np.asarray(gb), np.asarray(gd)
+    np.testing.assert_allclose(gb_np[perm[used]], gd_np[used],
+                               rtol=0, atol=1e-5)
+
+
 def test_uvt_tables_fall_back_on_heavy_turnover():
     n, h, w = 3, 8, 512
     ids = _roll_ids(n, h, w).copy()
