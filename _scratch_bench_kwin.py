@@ -37,24 +37,26 @@ def bench_tables(tb, ts, p_pad, label, feats_b, feats_s, check=True):
     cot = jnp.asarray(rng.standard_normal((16, hw, 3)), jnp.float32)
 
     def run(tables, feats, name):
-        f = jax.jit(lambda ft: po.uvt_gather(ft, tables, idx, hw=hw))
-        fwd = f(feats)
+        # tables as jit ARGUMENTS (closing over them inlines the multi-GB
+        # plans as HLO constants -> remote_compile HTTP 413)
+        f = jax.jit(lambda ft, tb: po.uvt_gather(ft, tb, idx, hw=hw))
+        fwd = f(feats, tables)
         fwd.block_until_ready()
         t0 = time.time()
         for _ in range(5):
-            fwd = f(feats)
+            fwd = f(feats, tables)
         fwd.block_until_ready()
         t_fwd = (time.time() - t0) / 5
 
-        def loss(ft):
-            return jnp.vdot(po.uvt_gather(ft, tables, idx, hw=hw), cot)
+        def loss(ft, tb):
+            return jnp.vdot(po.uvt_gather(ft, tb, idx, hw=hw), cot)
 
         g = jax.jit(jax.grad(loss))
-        adj = g(feats)
+        adj = g(feats, tables)
         adj.block_until_ready()
         t0 = time.time()
         for _ in range(5):
-            adj = g(feats)
+            adj = g(feats, tables)
         adj.block_until_ready()
         t_vjp = (time.time() - t0) / 5
         print(f"[{label}] {name}: fwd {t_fwd*1e3:.1f} ms  "
@@ -80,7 +82,9 @@ scen = sys.argv[1] if len(sys.argv) > 1 else "roll"
 
 if scen == "roll":
     # the long-video bench structure: creation-order ramps
-    n, shift = 48, 12
+    # (n=300 shift=4 ~= the real 300x1280x720 run's 1.78M tracks)
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 48
+    shift = int(sys.argv[3]) if len(sys.argv) > 3 else 12
     ids = rolling_ids(n, shift)
     p_pad = -(-int(ids.max() + 1) // 128) * 128
     print("roll: p_pad", p_pad, "n", n, flush=True)

@@ -309,12 +309,16 @@ def test_uvt_kinematic_relabel_restores_banded():
                                rtol=0, atol=1e-5)
 
 
-def test_uvt_tables_fall_back_on_heavy_turnover():
+def test_uvt_tables_fall_back_on_incoherent_ids():
+    """Per-frame RANDOM track order: frames disagree on the relative
+    order of tracks, so no renumbering (kinematic relabeling included)
+    makes them all near-monotone — build_uvt_tables must decline the
+    banded path and fall back to the dense/sorted adjoint."""
+    rng = np.random.default_rng(3)
     n, h, w = 3, 8, 512
-    ids = _roll_ids(n, h, w).copy()
-    # half of frame 2 pixels hold far-spread fresh ids: no window covers
-    # them, overflow fraction ~17% > the 8% cap -> decline
-    ids[2, ::2] = np.arange((ids.shape[1] + 1) // 2) * 4096 + 100_000
+    hw = h * w
+    ids = np.stack([rng.permutation(2 * hw)[:hw].astype(np.int32)
+                    for _ in range(n)])
     p_pad = max(128, -(-int(ids.max() + 1) // 128) * 128)
     tables, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
                                     allow_banded=True)
