@@ -39,6 +39,15 @@ _CPAD = 8      # sublane-padded channel count of the packed table
 _TILE = 128    # ids per packed tile (= vreg lanes)
 
 
+def _offs_dtype(window: int, n_windows: int = 1):
+    """Offsets live in [-1, n_windows*window): int16 whenever that fits.
+    The offs array dominates plan memory (512 entries/block vs 1-2 scalars
+    for starts/seg), so halving it halves device plan residency AND the
+    h2d upload — 3.2 GB of plans at 300x1280x720 ride a tunnel whose
+    first-transfer stall scales with volume (PERF_NOTES)."""
+    return np.int16 if n_windows * window <= 2**15 else np.int32
+
+
 def plan_banded_gather(indices: np.ndarray, block: int = 512,
                        window: int = 2048, group: int = 8,
                        max_ovf_frac: float = 0.0):
@@ -148,11 +157,12 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     seg_starts = seg.min(axis=1)
     seg_span = (seg.max(axis=1) - seg_starts) + window
     ok = bool(ok) and bool((seg_span <= segn_ids).all())
+    odt = _offs_dtype(window)
     if max_ovf_frac > 0.0:
         return (seg_starts.astype(np.int32), lo.astype(np.int32),
-                offs.astype(np.int32), ok, ovf_mask)
+                offs.astype(odt), ok, ovf_mask)
     return (seg_starts.astype(np.int32), lo.astype(np.int32),
-            offs.astype(np.int32), ok)
+            offs.astype(odt), ok)
 
 
 def row_blocks(length: int, block: int = 512, group: int = 8) -> int:
@@ -305,7 +315,8 @@ def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
     n_live = int(live.sum())
     ok = int(ovf_mask.sum()) <= max_ovf_frac * max(n_live, 1)
     return (np.stack(seg_list, axis=1), np.stack(lo_list, axis=1),
-            offs, ovf_mask, bool(ok))
+            offs.astype(_offs_dtype(window, n_windows)), ovf_mask,
+            bool(ok))
 
 
 def plan_banded_gather_rows_multi(indices: np.ndarray, block: int = 512,
@@ -372,7 +383,8 @@ def _select(wref, t0, offs, window, out=None):
     accumulator across multiple windows (K-window kernel): offsets
     outside [0, window) never hit, so disjoint windows compose."""
     bl = offs.shape[1]
-    offs8 = jnp.broadcast_to(offs, (_CPAD, bl))          # (8, BL)
+    # plans ship int16 (see _offs_dtype); index math runs int32
+    offs8 = jnp.broadcast_to(offs.astype(jnp.int32), (_CPAD, bl))  # (8, BL)
     if out is None:
         out = jnp.zeros((_CPAD, bl), jnp.float32)
     for j in range(window // _TILE):

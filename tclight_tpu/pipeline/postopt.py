@@ -644,7 +644,9 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
     if cached is not None and cached[0] == key:
         return cached[1], cached[2]
     if allow_banded:
-        plan_bytes = 4 * 512 * n * (banded.row_blocks(hw)
+        # int16 offsets (banded._offs_dtype): 2 bytes x 512 entries/block,
+        # both gather directions
+        plan_bytes = 2 * 512 * n * (banded.row_blocks(hw)
                                     + banded.row_blocks(p_pad))
         if (plan_bytes <= _BANDED_PLAN_MAX_BYTES
                 and plan_bytes + 4 * n * hw * 3

@@ -310,15 +310,19 @@ def test_uvt_kinematic_relabel_restores_banded():
 
 
 def test_uvt_tables_fall_back_on_incoherent_ids():
-    """Per-frame RANDOM track order: frames disagree on the relative
-    order of tracks, so no renumbering (kinematic relabeling included)
-    makes them all near-monotone — build_uvt_tables must decline the
-    banded path and fall back to the dense/sorted adjoint."""
-    rng = np.random.default_rng(3)
-    n, h, w = 3, 8, 512
+    """The SAME tracks in inconsistent relative order across frames: a
+    stride permutation makes every scanline block of frame 1 span the
+    whole id range, and because frame 0 pins the natural order, no
+    renumbering (kinematic relabeling included) can make both frames
+    near-monotone — build_uvt_tables must decline the banded path and
+    fall back to the dense/sorted adjoint.  (Random DISJOINT per-frame
+    ids are NOT such a case: tracks seen in one frame relabel to their
+    single position's rank, which the planner then covers.)"""
+    # id space >> K*window (otherwise 2-3 windows trivially cover it)
+    n, h, w = 2, 64, 1024
     hw = h * w
-    ids = np.stack([rng.permutation(2 * hw)[:hw].astype(np.int32)
-                    for _ in range(n)])
+    base = np.arange(hw, dtype=np.int32)
+    ids = np.stack([base, (base * 1234567) % hw])
     p_pad = max(128, -(-int(ids.max() + 1) // 128) * 128)
     tables, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
                                     allow_banded=True)
