@@ -42,7 +42,8 @@ cfg = po.PostOptConfig(epochs=epochs, batch_size=16)
 t0 = time.time()
 rendered, hist, times = po.run_uvt(
     jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
-    ids.reshape(-1), n_unique, cfg)
+    ids.reshape(-1), n_unique, cfg,
+    warp_radius=po.flow_radius(flows))
 print(f"total {time.time()-t0:.1f}s  epoch walls: "
       f"{np.round(np.asarray(times), 2)}", flush=True)
 print(f"steady uvt_epoch_s: {float(times[-1]):.2f}", flush=True)

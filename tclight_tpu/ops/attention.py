@@ -36,13 +36,19 @@ def dot_product_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Plain XLA attention (fine for short KV, e.g. cross-attn over 77
-    text tokens). q: (B, Sq, H, D), k/v: (B, Skv, H, D)."""
+    text tokens). q: (B, Sq, H, D), k/v: (B, Skv, H, D). `mask` is a
+    boolean array broadcastable to (B, H, Sq, Skv); False keys are
+    excluded from the softmax."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 

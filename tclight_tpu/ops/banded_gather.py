@@ -157,7 +157,10 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     seg_starts = seg.min(axis=1)
     seg_span = (seg.max(axis=1) - seg_starts) + window
     ok = bool(ok) and bool((seg_span <= segn_ids).all())
-    odt = _offs_dtype(window)
+    # downcast only valid plans: when ok=False the offsets can exceed the
+    # int16 range and would wrap silently (callers must not use them, but
+    # keep them inspectable)
+    odt = _offs_dtype(window) if ok else np.int32
     if max_ovf_frac > 0.0:
         return (seg_starts.astype(np.int32), lo.astype(np.int32),
                 offs.astype(odt), ok, ovf_mask)
@@ -314,9 +317,9 @@ def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
     ovf_mask = live & residual
     n_live = int(live.sum())
     ok = int(ovf_mask.sum()) <= max_ovf_frac * max(n_live, 1)
+    odt = _offs_dtype(window, n_windows) if ok else np.int32
     return (np.stack(seg_list, axis=1), np.stack(lo_list, axis=1),
-            offs.astype(_offs_dtype(window, n_windows)), ovf_mask,
-            bool(ok))
+            offs.astype(odt), ovf_mask, bool(ok))
 
 
 def plan_banded_gather_rows_multi(indices: np.ndarray, block: int = 512,
@@ -464,10 +467,14 @@ def _kernel_multi(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win,
         seg_dma(g, slot, k).wait()
     for u in range(group):
         out = None
+        # widen before the window-slot subtraction: plans ship int16 and
+        # masked -1 entries sit 1 above int16 min at the dtype boundary
+        # (n_windows*window == 2**15) if subtracted in int16
+        offs32 = offs_ref[u].astype(jnp.int32)
         for k in range(nwin):
             t0 = (starts_ref[g * group + u, k] - seg_ref[g, k]) // _TILE
             out = _select(win.at[slot, k], t0,
-                          (offs_ref[u] - k * window)[None], window, out)
+                          (offs32 - k * window)[None], window, out)
         out_ref[u] = out                                  # (8, BL)
 
 

@@ -394,11 +394,12 @@ _DENSE_MAP_MAX_BYTES = int(5e8)
 # verifies the precondition per video and falls back to the dense/sorted
 # paths otherwise (high-turnover real footage mixes track generations
 # inside scanline blocks, which breaks the single-window invariant).
-# The plans are device-resident int32; the budget below caps plans AND
+# The plans are device-resident (offsets int16 — the dominant term, 512
+# entries/block; starts/seg stay int32); the budget below caps plans AND
 # plans+frames so the epoch's peak (frames f32 + f16 flows/masks + plans
 # + transients) stays inside a 16 GB chip — at 300x1280x720 / 1.78M
-# tracks the plans are ~3.3 GB and banded still wins ~6x per epoch over
-# the sorted-CSR adjoint.
+# tracks the int16 plans are ~1.7 GB and banded still wins ~6x per epoch
+# over the sorted-CSR adjoint.
 _BANDED_PLAN_MAX_BYTES = int(3.5e9)
 _BANDED_PLAN_PLUS_FRAMES_MAX_BYTES = int(7.5e9)
 
