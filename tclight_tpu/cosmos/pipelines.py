@@ -25,6 +25,11 @@ from tclight_tpu.cosmos.conditioner import GeneralConditioner
 from tclight_tpu.cosmos.dit import GeneralDIT, make_edm_denoiser
 from tclight_tpu.cosmos.edm import rho_timesteps, sample_edm
 from tclight_tpu.cosmos.guardrails import GuardrailRunner, SafetyResult
+from tclight_tpu.cosmos.offload import (
+    HostParams,
+    OffloadPolicy,
+    offload_component,
+)
 from tclight_tpu.utils.logging import get_logger
 
 log = get_logger()
@@ -46,10 +51,19 @@ class DiffusionText2WorldPipeline:
     guidance: float = 7.0
     n_steps: int = 35
     latent_shape: tuple = (1, 8, 16, 16, 16)   # (B, T, H, W, C)
+    # offloading strategy (world_generation_pipeline.py:56-123 offload_*
+    # flags): offloaded components hold HBM only while their stage runs
+    offload: OffloadPolicy = dataclasses.field(default_factory=OffloadPolicy)
 
-    def _cfg_x0_fn(self, context, null_context):
-        cond_fn = make_edm_denoiser(self.dit, self.dit_params, context)
-        uncond_fn = make_edm_denoiser(self.dit, self.dit_params, null_context)
+    def __post_init__(self):
+        if not isinstance(self.dit_params, HostParams):
+            self.dit_params = HostParams(self.dit_params,
+                                         offload=self.offload.network,
+                                         name="dit")
+
+    def _cfg_x0_fn(self, params, context, null_context):
+        cond_fn = make_edm_denoiser(self.dit, params, context)
+        uncond_fn = make_edm_denoiser(self.dit, params, null_context)
 
         def x0_fn(x, sigma):
             c = cond_fn(x, sigma)
@@ -58,36 +72,56 @@ class DiffusionText2WorldPipeline:
 
         return x0_fn
 
+    def _sample(self, context, seed: int,
+                condition_latent: jnp.ndarray | None) -> jnp.ndarray:
+        """The network stage (reference _run_model_with_offload,
+        world_generation_pipeline.py:253-286): DiT weights are device-
+        resident only inside this scope when offload.network is set."""
+        null_context = jnp.zeros_like(context)
+        with self.dit_params.on_device() as params:
+            x0_fn = self._cfg_x0_fn(params, context, null_context)
+            if condition_latent is not None:
+                # video2world: clamp conditioning frames at every solver
+                # step (model_v2w.py condition-latent extension)
+                n_cond = condition_latent.shape[1]
+                base_fn = x0_fn
+
+                def x0_fn(x, sigma):  # noqa: F811
+                    out = base_fn(x, sigma)
+                    return out.at[:, :n_cond].set(condition_latent)
+
+            noise = jax.random.normal(jax.random.PRNGKey(seed),
+                                      self.latent_shape)
+            latents = sample_edm(x0_fn, noise,
+                                 rho_timesteps(n=self.n_steps),
+                                 solver="heun")
+            jax.block_until_ready(latents)
+        return latents
+
     def __call__(self, prompt: str, seed: int = 0,
                  condition_latent: jnp.ndarray | None = None) -> np.ndarray | None:
         if self.text_guardrail is not None:
-            res = self.text_guardrail.is_safe(prompt)
+            with offload_component(self.text_guardrail,
+                                   self.offload.guardrails) as gr:
+                res = gr.is_safe(prompt)
             if not res.is_safe:
                 log.warning("prompt rejected by guardrail: %s", res.message)
                 return None
-        context = jnp.asarray(self.encode_text(prompt))
-        null_context = jnp.zeros_like(context)
-        x0_fn = self._cfg_x0_fn(context, null_context)
-        if condition_latent is not None:
-            # video2world: clamp conditioning frames at every solver step
-            # (model_v2w.py condition-latent extension)
-            n_cond = condition_latent.shape[1]
-            base_fn = x0_fn
-
-            def x0_fn(x, sigma):  # noqa: F811
-                out = base_fn(x, sigma)
-                return out.at[:, :n_cond].set(condition_latent)
-
-        noise = jax.random.normal(jax.random.PRNGKey(seed), self.latent_shape)
-        latents = sample_edm(x0_fn, noise, rho_timesteps(n=self.n_steps),
-                             solver="heun")
-        frames = self.decode_fn(latents)
+        with offload_component(self.encode_text,
+                               self.offload.text_encoder) as enc:
+            context = jnp.asarray(enc(prompt))
+        latents = self._sample(context, seed, condition_latent)
+        with offload_component(self.decode_fn, self.offload.tokenizer) as dec:
+            frames = dec(latents)
         if self.video_guardrail is not None:
-            res = self.video_guardrail.is_safe(frames)
-            if not res.is_safe:
-                log.warning("video rejected by guardrail: %s", res.message)
-                return None
-            frames = self.video_guardrail.postprocess(frames)
+            with offload_component(self.video_guardrail,
+                                   self.offload.guardrails) as gr:
+                res = gr.is_safe(frames)
+                if not res.is_safe:
+                    log.warning("video rejected by guardrail: %s",
+                                res.message)
+                    return None
+                frames = gr.postprocess(frames)
         return frames
 
 
