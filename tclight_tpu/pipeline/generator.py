@@ -1238,6 +1238,11 @@ class Generator:
                 save_frames(clean_frames, out_dir / "frames")
             self._save_run_config(out_dir, cost, edit_name, edit_prompt)
             self._save_loss_curves(out_dir, losses_exposure, losses_uvt)
+            # expose the raw curves for tests/tools (golden regression)
+            self.last_postopt_losses = {
+                "exposure": np.asarray(losses_exposure),
+                "uvt": np.asarray(losses_uvt),
+            }
             self.stage_times["output_save"] = (
                 time.perf_counter() - t_out
                 - self.stage_times.get("output_fetch", 0.0))

@@ -1,0 +1,95 @@
+"""Golden end-to-end regression: fixed tiny deterministic weights + the
+synthetic rolling-texture video -> committed metric values.
+
+Component-level oracle parity (tests/test_*_oracle.py) proves each piece
+matches the reference, but nothing caught a silent WHOLE-pipeline
+numerical drift between rounds — this does (SURVEY §4 implication;
+VERDICT r3 "what's weak" #4). The tolerances are wide enough for
+XLA-version fp-reassociation noise and narrow enough that any semantic
+change (noise scaling, scheduler order, merge ratios, post-opt loss
+weights) trips them.
+
+Regenerate after an INTENTIONAL behavior change with:
+    python -m pytest tests/test_golden_regression.py -s --golden-print
+(or just run the test; the failure message prints the measured dict).
+"""
+
+import numpy as np
+import pytest
+
+from tclight_tpu.config import ConfigDict
+from tclight_tpu.data.dataparsers import VideoDataParser
+from tclight_tpu.pipeline.generator import Generator
+from tclight_tpu.pipeline.iclight import build_tiny_iclight
+from tclight_tpu.utils.video_io import save_frames
+
+# measured on jax CPU backend, 2026-08-19 (regenerate: see module docstring)
+GOLDEN = {
+    "out_mean": 0.3315313,
+    "out_std": 0.1275873,
+    "warp_l1": 0.0191809,
+    "exposure_loss_final": 0.1912019,
+    "uvt_loss_final": 0.0189979,
+}
+RTOL = {
+    "out_mean": 2e-3, "out_std": 5e-3, "warp_l1": 2e-2,
+    "exposure_loss_final": 2e-2, "uvt_loss_final": 2e-2,
+}
+
+
+def _measure(tmp_path):
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.2, 0.8, (32, 32, 3)).astype(np.float32)
+    frames = np.stack([np.roll(base, 2 * t, axis=1) for t in range(6)])
+    vid_dir = tmp_path / "vid"
+    save_frames(frames, vid_dir)
+    cfg = ConfigDict({
+        "work_dir": str(tmp_path / "wd"),
+        "data": {"scene_type": "video", "rgb_path": str(vid_dir),
+                 "height": 32, "width": 32, "fps": 8,
+                 "flow_model": "farneback"},
+        "generation": dict(
+            guidance_scale=2.0, n_timesteps=2, chunk_size=4,
+            chunk_ord="mix-4", local_merge_ratio=0.5, merge_global=True,
+            global_merge_ratio=0.5, align_batch=True, max_downsample=2,
+            noise_mode="same", alpha_t=0.0, final_factor_t=0.01,
+            win_size_t=4, prompt_t="best quality",
+            negative_prompt_t="jittery", negative_prompt="bad quality",
+            prompt={"golden": "warm sunset light"}, save_frame=False),
+        "post_opt": {"apply_opt": True, "epochs_exposure": 3, "epochs": 3,
+                     "batch_size": 4, "lambda_dssim": 0.2,
+                     "lambda_flow": 0.8, "lambda_tv": 0.05,
+                     "feature_lr": 0.05, "exposure_lr_init": 0.01,
+                     "exposure_lr_final": 0.001,
+                     "exposure_lr_delay_steps": 0,
+                     "exposure_lr_delay_mult": 0.0, "ms_ssim_levels": 2},
+        "seed": 7,
+    })
+    models = build_tiny_iclight(seed=0, num_inference_steps=2)
+    gen = Generator(models, cfg, data_parser=VideoDataParser(cfg.data))
+    out = gen(None, str(tmp_path / "out"), list(range(6)))["golden"]
+
+    # warp-consistency of the output under the known exact flow (roll by
+    # 2 px/frame): fully static content would give 0
+    rolled = np.stack([np.roll(out[t], 2, axis=1) for t in range(5)])
+    warp_l1 = float(np.abs(rolled - out[1:]).mean())
+    hist = getattr(gen, "last_postopt_losses", None) or {}
+    return {
+        "out_mean": float(out.mean()),
+        "out_std": float(out.std()),
+        "warp_l1": warp_l1,
+        "exposure_loss_final": float(hist.get("exposure", [np.nan])[-1]),
+        "uvt_loss_final": float(hist.get("uvt", [np.nan])[-1]),
+    }
+
+
+@pytest.mark.slow
+def test_golden_end_to_end_metrics(tmp_path):
+    got = _measure(tmp_path)
+    assert all(np.isfinite(v) for v in got.values()), got
+    if any(v is None for v in GOLDEN.values()):
+        pytest.fail(f"GOLDEN values not committed yet; measured: {got!r}")
+    for k, want in GOLDEN.items():
+        assert np.isclose(got[k], want, rtol=RTOL[k]), (
+            f"golden drift in {k}: measured {got[k]!r}, committed {want!r} "
+            f"(full measurement: {got!r})")
