@@ -36,7 +36,7 @@ from typing import Mapping
 
 import numpy as np
 
-__all__ = ["convert_general_dit"]
+__all__ = ["convert_general_dit", "convert_diffusion_decoder_dit"]
 
 _SKIP = re.compile(
     r"^(pos_embedder\.|accum_|.*\.seq$|.*dim_spatial_range$|"
@@ -108,4 +108,18 @@ def convert_general_dit(sd: Mapping[str, np.ndarray]) -> dict:
     if unused:
         raise ValueError(f"unconverted GeneralDIT keys: {unused[:8]}"
                          f"{'...' if len(unused) > 8 else ''}")
+    return {"params": params}
+
+
+def convert_diffusion_decoder_dit(sd: Mapping[str, np.ndarray]) -> dict:
+    """Reference DiffusionDecoderGeneralDIT state dict
+    (cosmos1/models/autoregressive/diffusion_decoder/network.py:27) ->
+    {'params': ...} for `diffusion_decoder.DiffusionDecoderGeneralDIT`:
+    `token_embedder.weight` copies through; every other key is a plain
+    GeneralDIT key nested under the wrapper's `dit` scope."""
+    inner = {k: v for k, v in sd.items() if not k.startswith("token_embedder.")}
+    params = {"dit": convert_general_dit(inner)["params"]}
+    if "token_embedder.weight" in sd:
+        params["token_embedder"] = {
+            "embedding": np.asarray(sd["token_embedder.weight"])}
     return {"params": params}

@@ -121,13 +121,17 @@ def install_te_stub() -> None:
 
         class _Interp:
             NEAREST = "nearest"
+            BILINEAR = "bilinear"
 
         def _resize(img, size, interpolation=None, **kwargs):
             if list(img.shape[-2:]) == list(size):
                 return img
             need_sq = img.dim() == 3
             x = img[None] if need_sq else img
-            out = F.interpolate(x.float(), size=tuple(size), mode="nearest")
+            mode = "bilinear" if interpolation == "bilinear" else "nearest"
+            out = F.interpolate(
+                x.float(), size=tuple(size), mode=mode,
+                **({"align_corners": False} if mode == "bilinear" else {}))
             return out[0] if need_sq else out
 
         func = _mk_module("torchvision.transforms.functional",

@@ -37,7 +37,9 @@ def _ref_aegis_module():
         ("peft", {"PeftModel": AnyObj}),
         ("cosmos1.utils.log", {"warning": lambda *a, **k: None,
                                "error": lambda *a, **k: None,
-                               "info": lambda *a, **k: None}),
+                               "info": lambda *a, **k: None,
+                               "debug": lambda *a, **k: None,
+                               "critical": lambda *a, **k: None}),
         ("cosmos1.utils.misc", {"Color": AnyObj(), "timer": AnyObj()}),
     ]:
         if name in sys.modules:

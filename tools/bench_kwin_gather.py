@@ -1,5 +1,9 @@
 """TPU micro-bench: K-window + kinematic-relabel banded UVT gather vs
 sorted-CSR at long-video scale (1280x720 frames, multi-generation ids)."""
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root (tools run as scripts)
 import sys
 import time
 

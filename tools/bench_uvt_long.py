@@ -2,6 +2,10 @@
 rolling-texture ids matching bench.py's synthetic workload) — exercises the
 kinematic-relabel + banded-gather path end-to-end inside the production
 epoch scan, reporting per-epoch wall seconds."""
+
+import sys as _sys
+from pathlib import Path as _Path
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root (tools run as scripts)
 import sys
 import time
 
