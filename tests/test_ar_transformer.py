@@ -87,6 +87,7 @@ def test_sample_top_p_greedy_and_filtering(rng):
     assert int(sample_top_k(logits, jax.random.PRNGKey(0), 1.0, 1)[0]) == 2
 
 
+@pytest.mark.slow
 def test_generator_runs(tiny_model):
     model, params, cfg = tiny_model
     gen = ARGenerator(model, params, cfg)

@@ -60,6 +60,7 @@ def test_planner_masks_negative_indices():
     assert (offs[0].reshape(-1)[100:200] == -1).all()
 
 
+@pytest.mark.slow
 def test_kernel_matches_xla_gather_interpret():
     # small window/block keep Pallas interpret mode tractable on CPU
     blk, win = 256, 1024

@@ -18,6 +18,7 @@ def _tiny_cfg():
     return UNetConfig.tiny(in_channels=4)
 
 
+@pytest.mark.slow
 def test_controlnet_residual_shapes_and_zero_init(rng):
     cfg = _tiny_cfg()
     model = ControlNetModel(cfg)
@@ -62,6 +63,7 @@ def test_unet_residual_injection_changes_output(rng):
     assert float(jnp.abs(steered - base).max()) > 1e-4
 
 
+@pytest.mark.slow
 def test_convert_controlnet_against_diffusers_layout(rng):
     """Build a synthetic diffusers-style state dict for the tiny topology
     and check the converter produces the exact param tree."""

@@ -96,6 +96,7 @@ def test_fsq_quantizer_matches_reference():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dv_tokenizer_encode_decode_matches_reference():
     ref, module, params = _tiny_pair()
     x = _video()
@@ -122,6 +123,7 @@ def test_dv_tokenizer_encode_decode_matches_reference():
     assert rec_j.shape == (1, 5, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_chunked_wrapper_matches_per_chunk():
     """discrete_video.py:100-155 semantics: T splits into causal pixel
     chunks, each tokenized independently; the batched wrapper must equal

@@ -59,6 +59,7 @@ def test_psnr_reference_values(rng):
     assert psnr(a, a) > 100.0
 
 
+@pytest.mark.slow
 def test_frame_lpips_wiring(rng):
     import jax
 

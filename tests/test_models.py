@@ -32,6 +32,7 @@ def test_unet_forward_shapes(tiny_unet):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_unet_timestep_sensitivity(tiny_unet):
     model, params, cfg = tiny_unet
     x = jnp.ones((2, 16, 16, 8)) * 0.1
@@ -136,6 +137,7 @@ def test_clip_causal_mask():
     assert np.abs(np.asarray(o1)[0, -1] - np.asarray(o2)[0, -1]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_unet_cfg_dedup_exact():
     """cfg_dedup (shared-half input, duplicate at the first cross-attn)
     must be EXACT vs the plain duplicated-batch forward — slot0 (bank

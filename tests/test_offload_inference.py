@@ -50,6 +50,7 @@ def test_host_params_offload_roundtrip():
     assert hp.nbytes == hp2.nbytes > 0
 
 
+@pytest.mark.slow
 def test_cv_tokenizer_chunked_wrapper_matches_per_chunk():
     module, params = _tiny_cv()
     tok = VideoTokenizer(module, params, pixel_chunk_duration=5,
@@ -74,6 +75,7 @@ def test_cv_tokenizer_chunked_wrapper_matches_per_chunk():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cv_tokenizer_mean_std_normalization():
     module, params = _tiny_cv()
     mean, std = 0.3, 2.0

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tclight_tpu.models.pixtral import (
     build_tiny_vlm,
@@ -8,6 +9,7 @@ from tclight_tpu.models.pixtral import (
 from tclight_tpu.pipeline.iclight import DummyTokenizer
 
 
+@pytest.mark.slow
 def test_vlm_chat_completion_runs():
     vlm = build_tiny_vlm()
     image = jnp.asarray(

@@ -16,6 +16,8 @@ from tclight_tpu.utils.video_io import save_frames
 
 from test_pipeline_e2e import make_config, make_synthetic_video
 
+pytestmark = pytest.mark.slow  # module fixture inverts a tiny SD (~90 s on 1 CPU)
+
 N_STEPS = 3
 
 

@@ -58,6 +58,7 @@ def test_chunk_plans_stacked():
         assert sorted(idx[t][valid[t]].tolist()) == list(range(30))
 
 
+@pytest.mark.slow
 def test_exposure_align_reduces_flicker():
     frames, flows, masks, base = _static_video()
     cfg = small_cfg(epochs_exposure=20, lambda_flow=0.9)
@@ -85,6 +86,7 @@ def test_palette_init_and_render_roundtrip():
     np.testing.assert_allclose(out, frames, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_uvt_static_video_converges_to_shared_palette():
     frames, flows, masks, base = _static_video(n=4)
     n, h, w, _ = frames.shape
@@ -144,6 +146,7 @@ def test_palette_gather_adjoint_exact_with_collisions():
     assert np.array_equal(np.asarray(ref) == 0, np.asarray(got) == 0)
 
 
+@pytest.mark.slow
 def test_uvt_sorted_fallback_path(monkeypatch):
     """Force the memory-bounded sorted-CSR adjoint (used when the dense
     (N, P) inverse map would not fit) and check it converges the same."""

@@ -66,6 +66,7 @@ def test_convex_upsample_constant_flow():
     np.testing.assert_allclose(up[:, 8:-8, 8:-8], 16.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_raft_forward_shapes(rng):
     cfg = RAFTConfig.tiny()
     model = RAFT(cfg)
