@@ -53,12 +53,25 @@ def main(argv=None) -> int:
             )
             return (out * 255).astype("uint8")
 
+        import db_examples
+
+        # curated fbc gallery rows with on-disk assets (reference binds
+        # db_examples.background_conditioned_examples + the bg quick list);
+        # rows are [fg, bg, prompt, bg_source, width, height, seed, output]
+        rows = db_examples.available(
+            db_examples.background_conditioned_examples, img_cols=(0, 1))
+        examples = [[r[0], r[1], r[2], r[6]] for r in rows] or None
+        bg_list = db_examples.available_paths(db_examples.bg_samples)
+        if bg_list:
+            print("background quick list:", *bg_list, sep="\n  ")
+
         demo = gr.Interface(
             ui_process,
             [gr.Image(), gr.Image(), gr.Textbox(value="best quality"),
              gr.Number(value=12345)],
             gr.Image(),
             title="IC-Light TPU (fbc)",
+            examples=examples,
         )
         demo.launch()
         return 0

@@ -57,6 +57,16 @@ def main(argv=None) -> int:
             )
             return (out * 255).astype("uint8")
 
+        import db_examples
+
+        # curated gallery rows whose assets exist on disk (the reference
+        # binds db_examples.foreground_conditioned_examples the same way;
+        # rows are [image, prompt, bg_source, width, height, seed, output]
+        # — the Interface takes the first four input columns)
+        rows = db_examples.available(
+            db_examples.foreground_conditioned_examples, img_cols=(0,))
+        examples = [[r[0], r[1], r[2], r[5]] for r in rows] or None
+
         demo = gr.Interface(
             ui_process,
             [gr.Image(), gr.Textbox(value="best quality"),
@@ -64,6 +74,7 @@ def main(argv=None) -> int:
              gr.Number(value=12345)],
             gr.Image(),
             title="IC-Light TPU (fc)",
+            examples=examples,
         )
         demo.launch()
         return 0
