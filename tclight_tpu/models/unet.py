@@ -185,19 +185,25 @@ class BasicTransformerBlock(nn.Module):
                 joined, joined, levels, randf, spec.align_batch
             )
             l_len = local_merged.shape[1]
+            # unmerges compose into ONE row gather: the local chain's int32
+            # row maps (and the global level's, when active) fold together
+            # so attn_out is gathered once at full width instead of once
+            # per level (ops/tome.py unmerge_rows/compose_rows)
+            rows = tome.local_unmerge_rows(infos)
             if spec.merge_global and use_global and bank is not None:
                 merged, mi_g, _ = tome.global_merge(
                     local_merged, bank, local_merged, bank,
                     spec.global_ratio, flip, spec.align_batch,
                 )
-                new_bank = tome.global_unmerge(merged, mi_g, flip, l_len)
+                g_rows = tome.global_unmerge_rows(mi_g, flip, l_len)
+                new_bank = tome.gather_rows(merged, g_rows)
                 attn_out = attn1(merged, inject_qk=pnp_attn)
-                attn_out = tome.global_unmerge(attn_out, mi_g, flip, l_len)
+                rows = tome.compose_rows(g_rows, rows)
             else:
                 if spec.merge_global:
                     new_bank = local_merged
                 attn_out = attn1(local_merged, inject_qk=pnp_attn)
-            attn_out = tome.local_unmerge_sequence(attn_out, infos)
+            attn_out = tome.gather_rows(attn_out, rows)
             attn_out = tome.split_frame(attn_out, f)
         else:
             attn_out = attn1(h, inject_qk=pnp_attn)

@@ -40,12 +40,17 @@ __all__ = [
     "compute_split_merge",
     "tome_merge",
     "tome_unmerge",
+    "unmerge_rows",
+    "compose_rows",
+    "gather_rows",
     "join_frame",
     "split_frame",
     "local_merge_sequence",
+    "local_unmerge_rows",
     "local_unmerge_sequence",
     "global_merge",
     "global_unmerge",
+    "global_unmerge_rows",
 ]
 
 
@@ -265,10 +270,15 @@ def compute_local_merge(
     because the dst-frame *count* is fixed by the plan."""
     f, tnum, unm_pre = spec.f, spec.tnum, spec.unm_pre
     n_frame_tok = f * tnum
-    frame_of = jnp.arange(n_frame_tok, dtype=jnp.int32) // tnum
-    is_dst = (frame_of % spec.stride) == randf
-    # stable partition: src positions (in order), then dst positions
-    order = jnp.argsort(is_dst, stable=True)
+    # stable partition (src frames in order, then dst frames): tokens
+    # within a frame are contiguous, so partition the f-length FRAME axis
+    # (a trivial sort) and expand — not the f*tnum token axis (a ~43k-int
+    # sort per level at 960x720 that XLA runs every step)
+    is_dst_f = (jnp.arange(f, dtype=jnp.int32) % spec.stride) == randf
+    order_f = jnp.argsort(is_dst_f, stable=True)  # (f,)
+    order = (
+        order_f[:, None] * tnum + jnp.arange(tnum, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
     a_idx = order[: spec.n_src] + unm_pre
     b_frames = order[spec.n_src :] + unm_pre
     # previous unmerged tokens appended to dst (merge.py:66-69)
@@ -306,46 +316,77 @@ def tome_merge(x: jnp.ndarray, mi: MergeIndices, mode: str = "replace") -> jnp.n
     default. "mean": dst slots become the mean of themselves + all srcs
     merged into them (torch scatter_reduce 'mean', include_self)."""
     b = x.shape[0]
+    if mode == "replace":
+        # one composed gather: unm positions = a_idx[unm_idx], so the
+        # (B, S, C) src intermediate (41 MB/slot at 960x720 level 0)
+        # never materializes
+        comp = jnp.concatenate(
+            [mi.a_idx[mi.unm_idx], jnp.broadcast_to(
+                mi.b_idx[None], (mi.unm_idx.shape[0],) + mi.b_idx.shape)],
+            axis=1,
+        )  # (Bi, n_unm + D)
+        return jnp.take_along_axis(
+            x, _bcast_batch(comp, b)[..., None], axis=1)
     src = x[:, mi.a_idx]
     dst = x[:, mi.b_idx]
     unm = jnp.take_along_axis(src, _bcast_batch(mi.unm_idx, b)[..., None], axis=1)
-    if mode != "replace":
-        src_sel = jnp.take_along_axis(src, _bcast_batch(mi.src_idx, b)[..., None], axis=1)
-        d_idx = _bcast_batch(mi.dst_idx, b)
+    src_sel = jnp.take_along_axis(src, _bcast_batch(mi.src_idx, b)[..., None], axis=1)
+    d_idx = _bcast_batch(mi.dst_idx, b)
 
-        def _mean_one(dst_i, src_i, didx_i):
-            sums = jnp.zeros_like(dst_i).at[didx_i].add(src_i)
-            counts = (
-                jnp.zeros(dst_i.shape[0], dtype=src_i.dtype)
-                .at[didx_i]
-                .add(1.0)
-            )
-            return (dst_i + sums) / (1.0 + counts)[:, None]
+    def _mean_one(dst_i, src_i, didx_i):
+        sums = jnp.zeros_like(dst_i).at[didx_i].add(src_i)
+        counts = (
+            jnp.zeros(dst_i.shape[0], dtype=src_i.dtype)
+            .at[didx_i]
+            .add(1.0)
+        )
+        return (dst_i + sums) / (1.0 + counts)[:, None]
 
-        dst = jax.vmap(_mean_one)(dst, src_sel, d_idx)
+    dst = jax.vmap(_mean_one)(dst, src_sel, d_idx)
     return jnp.concatenate([unm, dst], axis=1)
+
+
+def unmerge_rows(mi: MergeIndices) -> jnp.ndarray:
+    """Int32 row map g (Bi, n_total) inverting `tome_merge` ("replace"):
+    unmerged[p] = merged[g[p]]. The three write sets (dst, unmerged src,
+    merged src) partition [0, n_total), so scattering SOURCE ROW NUMBERS
+    (4 bytes/row instead of 2*C) and gathering once replaces three
+    full-width (n_total, C) scatters; maps of chained merges compose with
+    `compose_rows` into a single final gather."""
+    n_unm = mi.unm_idx.shape[-1]
+    unm_pos = mi.a_idx[mi.unm_idx]                 # (Bi, n_unm)
+    src_pos = mi.a_idx[mi.src_idx]                 # (Bi, r)
+    d_rows = n_unm + jnp.arange(mi.b_idx.shape[0], dtype=jnp.int32)
+
+    def _rowmap_one(unm_pos_i, src_pos_i, dst_idx_i):
+        g = jnp.zeros((mi.n_total,), jnp.int32)
+        g = g.at[mi.b_idx].set(d_rows)
+        g = g.at[unm_pos_i].set(jnp.arange(n_unm, dtype=jnp.int32))
+        g = g.at[src_pos_i].set(n_unm + dst_idx_i)
+        return g
+
+    return jax.vmap(_rowmap_one)(unm_pos, src_pos, mi.dst_idx)  # (Bi, N)
+
+
+def compose_rows(outer: jnp.ndarray, inner: jnp.ndarray) -> jnp.ndarray:
+    """Compose row maps: result[b, q] = outer[b, inner[b, q]] (batch dims
+    broadcast, so align_batch Bi=1 maps mix with per-batch ones)."""
+    bb = max(outer.shape[0], inner.shape[0])
+    outer = jnp.broadcast_to(outer, (bb,) + outer.shape[1:])
+    inner = jnp.broadcast_to(inner, (bb,) + inner.shape[1:])
+    return jnp.take_along_axis(outer, inner, axis=1)
+
+
+def gather_rows(y: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Apply a row map: (B, M, C), (Bi, N) -> (B, N, C)."""
+    return jnp.take_along_axis(
+        y, _bcast_batch(rows, y.shape[0])[..., None], axis=1)
 
 
 def tome_unmerge(y: jnp.ndarray, mi: MergeIndices) -> jnp.ndarray:
     """Invert `tome_merge`: (B, n_unm + n_dst, C) -> (B, N, C). Restored
     merged-src tokens copy their dst token's value (merge.py:137-158)."""
-    b, c = y.shape[0], y.shape[-1]
-    n_unm = mi.unm_idx.shape[-1]
-    unm, dst = y[:, :n_unm], y[:, n_unm:]
-    src_restored = jnp.take_along_axis(
-        dst, _bcast_batch(mi.dst_idx, b)[..., None], axis=1
-    )
-    unm_pos = mi.a_idx[_bcast_batch(mi.unm_idx, b)]  # (B, n_unm)
-    src_pos = mi.a_idx[_bcast_batch(mi.src_idx, b)]  # (B, r)
-
-    def _scatter_one(dst_i, unm_i, src_i, unm_pos_i, src_pos_i):
-        out = jnp.zeros((mi.n_total, c), dtype=y.dtype)
-        out = out.at[mi.b_idx].set(dst_i)
-        out = out.at[unm_pos_i].set(unm_i)
-        out = out.at[src_pos_i].set(src_i)
-        return out
-
-    return jax.vmap(_scatter_one)(dst, unm, src_restored, unm_pos, src_pos)
+    return gather_rows(y, unmerge_rows(mi))
 
 
 def local_merge_sequence(
@@ -371,12 +412,19 @@ def local_merge_sequence(
     return x, infos
 
 
+def local_unmerge_rows(infos: Sequence[MergeIndices]) -> jnp.ndarray:
+    """Composed row map for the whole local chain: one int32 map from
+    original positions to rows of the final merged sequence."""
+    rows = unmerge_rows(infos[0])
+    for mi in infos[1:]:
+        rows = compose_rows(unmerge_rows(mi), rows)
+    return rows
+
+
 def local_unmerge_sequence(
     y: jnp.ndarray, infos: Sequence[MergeIndices]
 ) -> jnp.ndarray:
-    for mi in reversed(infos):
-        y = tome_unmerge(y, mi)
-    return y
+    return gather_rows(y, local_unmerge_rows(infos))
 
 
 def global_merge(
@@ -409,12 +457,20 @@ def global_merge(
     return merged, mi, flip
 
 
+def global_unmerge_rows(
+    mi: MergeIndices, flip: jnp.ndarray, src_len: int
+) -> jnp.ndarray:
+    """Row map restoring the *local* half of a global merge: src half when
+    local was src (flip=False), dst half otherwise — selected on the int32
+    map so only local-half rows are ever gathered."""
+    rows = unmerge_rows(mi)  # (Bi, 2*src_len)
+    flip_r = flip if flip.ndim == 0 else flip[..., None]
+    return jnp.where(flip_r, rows[:, src_len:], rows[:, :src_len])
+
+
 def global_unmerge(
     y: jnp.ndarray, mi: MergeIndices, flip: jnp.ndarray, src_len: int
 ) -> jnp.ndarray:
     """Invert `global_merge`, returning the restored *local* chunk
-    (merge.py unmerge_chunk semantics): src half when local was src
-    (flip=False), dst half otherwise."""
-    full = tome_unmerge(y, mi)
-    flip_b = flip[..., None, None] if flip.ndim == 0 else flip
-    return jnp.where(flip_b, full[:, src_len:], full[:, :src_len])
+    (merge.py unmerge_chunk semantics)."""
+    return gather_rows(y, global_unmerge_rows(mi, flip, src_len))
