@@ -19,6 +19,7 @@ Rebuilds generate.py's `Generator` (:41-630) TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import time
 from pathlib import Path
@@ -70,6 +71,8 @@ class Generator:
         self.alpha_t = _cfg_get(gen, "alpha_t", 0.0)
         self.final_factor_t = _cfg_get(gen, "final_factor_t", 0.01)
         self.win_size_t = _cfg_get(gen, "win_size_t", 64)
+        # yt-pass chunk size (0 = auto, see _yt_chunk_size)
+        self.chunk_size_t = int(_cfg_get(gen, "chunk_size_t", 0))
         self.prompt_t = _cfg_get(gen, "prompt_t", "best quality")
         self.negative_prompt_t = _cfg_get(gen, "negative_prompt_t", "jittery")
         self.save_frame = _cfg_get(gen, "save_frame", True)
@@ -158,13 +161,18 @@ class Generator:
         self._pnp_step_fns = {}
         self._pnp_latents_dir = None
         self._frame_ids = None
-        self._step_fn_yt = None
         self._step_sched_fn = None
         self._fuse_step_fn = None
         self._loop_fn = None
         self._slot0_fn = None
         self._group_fn = None
         self._sched_only_fn = None
+        # yt-pass variants bound to the chunk_size_t ToMeSpec (_yt_bind)
+        self._yt_unet = None
+        self._yt_cs = None
+        self._step_fn_t = None
+        self._slot0_fn_t = None
+        self._group_fn_t = None
         # single programs running >~1-2 min kernel-fault the axon worker
         # (watchdog); plans with more slots than this split into bounded
         # per-dispatch groups (see _run_slots_split)
@@ -306,17 +314,20 @@ class Generator:
             x, NamedSharding(self.mesh, spec))
 
     def _pred_chunk(self, params, x_c, cc_c, embeds, t, randf, flip, banks,
-                    use_global):
+                    use_global, unet=None):
         """CFG batch: [uncond frames | cond frames] (generate.py:296-301).
 
         With `cfg_dedup` (default), the UNet takes the SINGLE shared half:
         the pair is bit-identical until the first cross-attention, so
         conv_in + the first resnet + the first (merged) self-attention run
         once and the model duplicates tokens at the divergence point
-        (models/unet.py cfg_dedup) — exact, ~0.4 s/step at 960x720."""
-        unet = self.models.unet
+        (models/unet.py cfg_dedup) — exact, ~0.4 s/step at 960x720.
+
+        `unet` selects the module variant (the yt pass binds one with a
+        chunk_size_t ToMeSpec); chunk size is read off the input shape."""
+        unet = self.models.unet if unet is None else unet
         g = self.guidance_scale
-        cs = self.chunk_size
+        cs = x_c.shape[0]
         uncond, cond = embeds  # each (1, S, hidden)
         ctx = jnp.concatenate(
             [jnp.repeat(uncond, cs, axis=0), jnp.repeat(cond, cs, axis=0)], axis=0
@@ -560,23 +571,23 @@ class Generator:
         return noises.at[tgt].set(e, mode="drop")
 
     def _slot0_core(self, params, x, concat_conds, embeds, t, idx0, val0,
-                    randf0, flip0):
+                    randf0, flip0, unet=None):
         """Slot 0 initializes the global token banks."""
         e0, banks = self._pred_chunk(
             params, x[idx0], concat_conds[idx0], embeds, t, randf0, flip0,
-            None, False,
+            None, False, unet=unet,
         )
         return self._scatter_noise(jnp.zeros_like(x), e0, idx0, val0), banks
 
     def _group_core(self, params, x, noises, banks, concat_conds, embeds, t,
-                    plan_idx, plan_valid, randfs, flips):
+                    plan_idx, plan_valid, randfs, flips, unet=None):
         """Scan a group of bank-carrying chunk slots into the noise buffer."""
         def body(carry, inp):
             noises, banks = carry
             idx, valid, randf, flip = inp
             e, banks = self._pred_chunk(
                 params, x[idx], concat_conds[idx], embeds, t, randf,
-                flip, banks, True,
+                flip, banks, True, unet=unet,
             )
             return (self._scatter_noise(noises, e, idx, valid), banks), None
 
@@ -586,28 +597,29 @@ class Generator:
         return noises, banks
 
     def _step_core(self, params, x, concat_conds, embeds, t, plan_idx,
-                   plan_valid, randfs, flips):
+                   plan_valid, randfs, flips, unet=None):
         """One xy denoising step (pure function): scatter-gathered chunk
         UNet passes with token merging + CFG fused into the noise buffer.
         Params enter as an argument (axon: closed-over arrays become HLO
         constants and blow up the remote-compile upload)."""
         noises, banks = self._slot0_core(
             params, x, concat_conds, embeds, t, plan_idx[0], plan_valid[0],
-            randfs[0], flips[0],
+            randfs[0], flips[0], unet=unet,
         )
         if plan_idx.shape[0] > 1:
             noises, banks = self._group_core(
                 params, x, noises, banks, concat_conds, embeds, t,
                 plan_idx[1:], plan_valid[1:], randfs[1:], flips[1:],
+                unet=unet,
             )
         return noises
 
-    def _build_step_fn(self):
-        jitted = jax.jit(self._step_core)
+    def _build_step_fn(self, unet=None):
+        jitted = jax.jit(functools.partial(self._step_core, unet=unet))
         return lambda *a: jitted(self.models.unet_params, *a)
 
     def _run_slots_split(self, x, concat_conds, embeds, t_arr, idx_np,
-                         valid_np, randf_np, flip_np):
+                         valid_np, randf_np, flip_np, yt=False):
         """Bounded-dispatch slot execution for many-slot plans (long
         videos / yt passes): the axon worker kernel-faults single
         programs that run for minutes, so slots are dispatched in groups
@@ -616,10 +628,18 @@ class Generator:
         invalid slots so one compiled group graph covers every step."""
         gsz = self.max_fused_slots
         params = self.models.unet_params
-        if self._slot0_fn is None:
+        if yt and self._slot0_fn_t is None:
+            unet_t = self._yt_unet
+            self._slot0_fn_t = jax.jit(
+                functools.partial(self._slot0_core, unet=unet_t))
+            self._group_fn_t = jax.jit(
+                functools.partial(self._group_core, unet=unet_t))
+        if not yt and self._slot0_fn is None:
             self._slot0_fn = jax.jit(self._slot0_core)
             self._group_fn = jax.jit(self._group_core)
-        noises, banks = self._slot0_fn(
+        slot0_fn = self._slot0_fn_t if yt else self._slot0_fn
+        group_fn = self._group_fn_t if yt else self._group_fn
+        noises, banks = slot0_fn(
             params, x, concat_conds, embeds, t_arr,
             jnp.asarray(idx_np[0]), jnp.asarray(valid_np[0]),
             jnp.asarray(int(randf_np[0]), jnp.int32),
@@ -638,7 +658,7 @@ class Generator:
                     )
                 return jnp.asarray(sl)
 
-            noises, banks = self._group_fn(
+            noises, banks = group_fn(
                 params, x, noises, banks, concat_conds, embeds, t_arr,
                 pad_np(idx_np), pad_np(valid_np), pad_np(randf_np),
                 pad_np(flip_np),
@@ -646,21 +666,24 @@ class Generator:
         return noises
 
     def _run_slots(self, x, concat_conds, embeds, t_arr, plan, randf_np,
-                   flip_np):
+                   flip_np, yt=False):
         """Dispatch one denoise pass over a chunk plan: fully fused for
         normal slot counts, group-split above `max_fused_slots`."""
         slots = plan.indices.shape[0]
         if slots <= self.max_fused_slots + 1:
-            if self._step_fn is None:
+            if yt and self._step_fn_t is None:
+                self._step_fn_t = self._build_step_fn(unet=self._yt_unet)
+            if not yt and self._step_fn is None:
                 self._step_fn = self._build_step_fn()
-            return self._step_fn(
+            step_fn = self._step_fn_t if yt else self._step_fn
+            return step_fn(
                 x, concat_conds, embeds, t_arr,
                 jnp.asarray(plan.indices), jnp.asarray(plan.valid),
                 jnp.asarray(randf_np, jnp.int32), jnp.asarray(flip_np),
             )
         return self._run_slots_split(
             x, concat_conds, embeds, t_arr, plan.indices, plan.valid,
-            np.asarray(randf_np), np.asarray(flip_np),
+            np.asarray(randf_np), np.asarray(flip_np), yt=yt,
         )
 
     def _build_step_sched_fn(self):
@@ -721,15 +744,46 @@ class Generator:
             starts, overlap_list = [0], [0]
         return win, starts, overlap_list
 
+    def _yt_chunk_size(self, w: int, win: int) -> int:
+        """Chunk size for the yt pass (`chunk_size_t`; 0 = auto).
+
+        Measured on the flagship 960x720x30 yt pass (tools/bench_yt_sweep.py,
+        v5e): steady yt-pass seconds/step = 3.03 (cs_t=2), 2.67 (4), 3.43
+        (8), 3.82 (12), 4.74 (16). Slots are fused into one dispatch, so
+        per-slot overhead is small, while the merged self-attention FLOPs
+        grow ~linearly in chunk size — the reference's chunk_size reuse
+        (generate.py:262) is already the measured optimum, so auto = that.
+        The knob stays for other shapes (win >> w videos shift the
+        crossover)."""
+        if self.chunk_size_t > 0:
+            return min(self.chunk_size_t, w)
+        return min(self.chunk_size, w)
+
+    def _yt_bind(self, cs_t: int) -> bool:
+        """Bind the yt UNet variant (ToMeSpec with n_frames=cs_t) lazily;
+        returns whether the dedicated yt path is active."""
+        if cs_t == self.chunk_size:
+            return False
+        if self._yt_cs != cs_t:
+            spec_t = dataclasses.replace(self.tome_spec, n_frames=cs_t)
+            self._yt_unet = self.models.with_tome(spec_t).unet
+            self._yt_cs = cs_t
+            self._step_fn_t = None
+            self._slot0_fn_t = None
+            self._group_fn_t = None
+        return True
+
     def _temporal_noises(self, x, concat_conds, embeds_t, t, rng, step_fn=None):
         """yt-plane noise prediction (generate.py:241-278): width columns
         become the chunked 'frame' axis; windows slide over time."""
         n, h, w, c = x.shape
         win, starts, overlaps = self._yt_windows(n)
+        cs_t = self._yt_chunk_size(w, win)
+        yt = self._yt_bind(cs_t)
         noises_t = jnp.zeros_like(x)
         for widx, sl in enumerate(starts):
             plan = chunklib.make_chunk_plan(
-                w, self.chunk_size, rng, self.chunk_ord, self.tome_spec.merge_global
+                w, cs_t, rng, self.chunk_ord, self.tome_spec.merge_global
             )
             slots = plan.indices.shape[0]
             randfs = rng.integers(0, 4, size=slots)
@@ -739,7 +793,7 @@ class Generator:
             cct = jnp.swapaxes(concat_conds[sl : sl + win], 0, 2)
             cct = jnp.swapaxes(cct, 1, 2)
             pred = self._run_slots(
-                xt, cct, embeds_t, t, plan, randfs, flips
+                xt, cct, embeds_t, t, plan, randfs, flips, yt=yt
             )  # (W, win, H, C)
             pred = jnp.swapaxes(pred, 1, 2)
             pred = jnp.swapaxes(pred, 0, 2)                   # (win, H, W, C)

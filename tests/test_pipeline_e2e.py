@@ -89,6 +89,25 @@ def test_end_to_end_multi_axis(tmp_path):
 
 
 @pytest.mark.slow
+def test_end_to_end_multi_axis_chunk_size_t(tmp_path):
+    """chunk_size_t > chunk_size binds a dedicated yt UNet variant
+    (ToMeSpec n_frames=chunk_size_t) and still produces a valid video."""
+    vid_dir, frames = make_synthetic_video(tmp_path, n=5, h=32, w=32)
+    cfg = make_config(tmp_path, vid_dir, alpha_t=0.3, win_size_t=4,
+                      chunk_size=2, chunk_size_t=4)
+    cfg.post_opt.apply_opt = False
+    models = build_tiny_iclight(seed=0, num_inference_steps=2, latent_base=16)
+    parser = VideoDataParser(cfg.data)
+    gen = Generator(models, cfg, data_parser=parser)
+    gen.apply_opt = False
+    results = gen(None, str(tmp_path / "out"), list(range(5)))
+    out = results["test"]
+    assert out.shape == (5, 32, 32, 3)
+    assert np.isfinite(out).all()
+    assert gen._yt_cs == 4 and gen._yt_unet.tome_spec.n_frames == 4
+
+
+@pytest.mark.slow
 def test_prompt_encoding_long_prompt():
     models = build_tiny_iclight(seed=0)
     cfg = ConfigDict({"generation": {"prompt": {"a": "x"}}, "seed": 0})
