@@ -151,6 +151,74 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_qk_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
+                          m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+    """Flash attention with the QK^T contraction in int8 on the MXU
+    (v5e int8 peak is 2x bf16; QK is ~half the attention FLOPs). Q
+    arrives quantized with one scale per (head, q-block) — a scalar per
+    program, SageAttention's block granularity — and K with per-token
+    scales packed as a (8, block_k) row-vector tile, so neither needs an
+    in-kernel relayout; logits = scale * sq * sk_j * <q8_i, k8_j>
+    accumulate in int32. The softmax and the PV matmul are unchanged
+    from `_flash_kernel`."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    bq = q_ref.shape[1]
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    v_blk = v_ref[0]
+    dots = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, bk) int32
+    logits = dots.astype(jnp.float32) * (
+        (scale * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
+    logits = jnp.where(col < kv_len, logits, -1e30)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(logits - m_cur)
+    l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_cur
+    l_ref[:] = l_cur
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """Symmetric per-row int8 quantization over the last axis:
+    returns (int8 values, f32 scales with the last axis dropped)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-6) / 127.0
+    q8 = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+    return q8, s[..., 0]
+
+
+def _quantize_blocks(x: jnp.ndarray, block: int):
+    """Symmetric int8 quantization of (N, S, D) with one scale per
+    S-block of `block` rows: returns (int8 values, (N, S/block) scales)."""
+    n, s, d = x.shape
+    xf = x.astype(jnp.float32).reshape(n, s // block, block, d)
+    amax = jnp.max(jnp.abs(xf), axis=(2, 3), keepdims=True)
+    sc = jnp.maximum(amax, 1e-6) / 127.0
+    q8 = jnp.round(xf / sc).astype(jnp.int8).reshape(n, s, d)
+    return q8, sc[:, :, 0, 0]
+
+
 def _flash_attention_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -158,6 +226,7 @@ def _flash_attention_pallas(
     scale: float,
     block_q: int = 1024,
     block_k: int = 1024,
+    qk_int8: bool = False,
 ) -> jnp.ndarray:
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -176,18 +245,10 @@ def _flash_attention_pallas(
         )
         return x.transpose(0, 2, 1, 3).reshape(b * h, s_pad, d_pad)
 
-    qp, kp, vp = prep(q, sq_pad), prep(k, skv_pad), prep(v, skv_pad)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
+    vp = prep(v, skv_pad)
+    common = dict(
         grid=(b * h, sq_pad // block_q, skv_pad // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -198,7 +259,55 @@ def _flash_attention_pallas(
         # configs beyond 1024x2048 that measure faster at ToMe shapes
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
-    )(qp, kp, vp)
+    )
+    qkv_spec = [
+        pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, kk: (i, kk, 0)),
+    ]
+    if not qk_int8:
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
+            ),
+            in_specs=qkv_spec,
+            **common,
+        )(prep(q, sq_pad), prep(k, skv_pad), vp)
+    else:
+        # K smoothing (SageAttention): subtracting the per-(b,h) token-mean
+        # from K shifts every logit in a query row by the same constant
+        # (q_i . km), so the softmax is EXACTLY unchanged while the int8
+        # grid spends its 8 bits on the informative part of K
+        km = jnp.mean(k, axis=1, keepdims=True)
+        # Q: one scale per (head, q-block) — a scalar per kernel program;
+        # K: per-token row scales (K ordering drives the softmax)
+        q8, sqs = _quantize_blocks(prep(q, sq_pad), block_q)  # (bh, n_q)
+        kp8 = prep(k - km, skv_pad)
+        k8, sks = _quantize_rows(kp8)                         # (bh, skv_pad)
+
+        n_q, n_kv = sq_pad // block_q, skv_pad // block_k
+        # scale operands packed into legal (8, 128)-tile layouts: sq as a
+        # broadcast (8, 128) tile per q-block (kernel reads [0,0,0]), sk
+        # as a broadcast (8, block_k) row-vector tile per kv-block
+        # (kernel reads [0, 0:1, :]) — no in-kernel relayouts
+        sq_t = jnp.broadcast_to(
+            sqs[:, :, None, None], (b * h, n_q, 8, 128)
+        ).reshape(b * h, n_q * 8, 128)
+        sk_t = jnp.broadcast_to(
+            sks.reshape(b * h, n_kv, 1, block_k), (b * h, n_kv, 8, block_k)
+        ).reshape(b * h, n_kv * 8, block_k)
+
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_qk_int8, scale=scale, kv_len=skv,
+                block_k=block_k,
+            ),
+            in_specs=qkv_spec + [
+                pl.BlockSpec((1, 8, 128), lambda i, j, kk: (i, j, 0)),
+                pl.BlockSpec((1, 8, block_k), lambda i, j, kk: (i, kk, 0)),
+            ],
+            **common,
+        )(q8, k8, vp, sq_t, sk_t)
     out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     return out.transpose(0, 2, 1, 3)
 
@@ -213,7 +322,9 @@ def flash_attention(
     """Memory-efficient attention. q: (B, Sq, H, D); k/v: (B, Skv, H, D).
 
     backend: None = auto (Pallas on TPU, scan fallback elsewhere),
-    'pallas', 'xla', or 'naive'."""
+    'pallas', 'pallas_int8' (QK contraction int8 on the MXU — ~exact
+    softmax via K smoothing, quantization error ~1e-2 relative; eval-gated,
+    never the default), 'xla', or 'naive'."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend is None:
@@ -222,6 +333,8 @@ def flash_attention(
         backend = "pallas" if use_pallas() else "xla"
     if backend == "pallas":
         return _flash_attention_pallas(q, k, v, scale)
+    if backend == "pallas_int8":
+        return _flash_attention_pallas(q, k, v, scale, qk_int8=True)
     if backend == "xla":
         return _flash_attention_xla(q, k, v, scale)
     return dot_product_attention(q, k, v, scale)

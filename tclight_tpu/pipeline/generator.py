@@ -112,7 +112,13 @@ class Generator:
         # have their own batch layouts and keep the plain forward
         self.cfg_dedup = bool(_cfg_get(gen, "cfg_dedup", True))
 
-        self.models = models.with_tome(self.tome_spec)
+        # eval-gated int8 QK attention (ops/attention.py 'pallas_int8'):
+        # 2x MXU rate on the QK contraction, ~1e-2 relative output error —
+        # off by default, for perf evaluation only
+        self.attn_backend = (
+            "pallas_int8" if _cfg_get(gen, "attn_qk_int8", False) else None)
+        self.models = models.with_tome(
+            self.tome_spec, attn_backend=self.attn_backend)
         self.scheduler = dataclasses.replace(
             models.scheduler, num_inference_steps=self.n_timesteps
         )
@@ -766,7 +772,8 @@ class Generator:
             return False
         if self._yt_cs != cs_t:
             spec_t = dataclasses.replace(self.tome_spec, n_frames=cs_t)
-            self._yt_unet = self.models.with_tome(spec_t).unet
+            self._yt_unet = self.models.with_tome(
+                spec_t, attn_backend=self.attn_backend).unet
             self._yt_cs = cs_t
             self._step_fn_t = None
             self._slot0_fn_t = None
