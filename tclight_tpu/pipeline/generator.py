@@ -76,7 +76,11 @@ class Generator:
         self.prompt_t = _cfg_get(gen, "prompt_t", "best quality")
         self.negative_prompt_t = _cfg_get(gen, "negative_prompt_t", "jittery")
         self.save_frame = _cfg_get(gen, "save_frame", True)
-        self.fuse_loop = _cfg_get(gen, "fuse_loop", False)  # fused scan faults the axon TPU worker (round-1); per-step is reliable
+        # Fused 25-step scan still crashes the axon TPU worker at SD1.5
+        # scale (retested 2026-08-20: sampling completed but the worker
+        # died async, surfacing UNAVAILABLE at the output fetch; wall was
+        # ~5.6 s/step — no win over per-step either). Per-step is reliable.
+        self.fuse_loop = _cfg_get(gen, "fuse_loop", False)
         self.prompts = dict(_cfg_get(gen, "prompt", {"default": None}))
         self.seed = int(config.get("seed", 12345))
 

@@ -160,3 +160,108 @@ def test_video2world_cli_smoke(tmp_path):
     ])
     assert rc == 0
     assert (tmp_path / "out" / "output.mp4").exists()
+
+
+@pytest.mark.slow
+def test_joint_image_video_tokenizer_dispatch():
+    """T==1 routes to the image VAE, clips route to the chunked video
+    tokenizer (pretrained_vae.py:508-606); shared-JIT variant keeps the
+    T axis and applies the IMAGE mean/std pair through the shared net
+    (pretrained_vae.py:589-620)."""
+    from tclight_tpu.cosmos.cv_tokenizer import (
+        ImageTokenizer,
+        JointImageVideoTokenizer,
+    )
+
+    module, params = _tiny_cv()
+    rng = np.random.default_rng(2)
+    clip = jnp.asarray(rng.uniform(-1, 1, (2, 5, 16, 16, 3)).astype(np.float32))
+    frame = clip[:, :1]
+
+    # --- shared-JIT joint: one causal net, separate image/video mean/std
+    joint = JointImageVideoTokenizer.shared_jit(
+        module, params, image_mean_std=(0.1, 1.5), video_mean_std=(0.3, 2.0),
+        pixel_chunk_duration=5, temporal_compression_factor=4)
+    # clip path == video_vae directly (video mean/std)
+    lat = joint.encode(clip)
+    np.testing.assert_array_equal(np.asarray(lat),
+                                  np.asarray(joint.video_vae.encode(clip)))
+    assert lat.shape == (2, 2, 2, 2, 4)
+    # T==1 path: shared net, IMAGE mean/std, T axis kept
+    raw1 = module.apply(params, frame,
+                        method=CausalContinuousVideoTokenizer.encode)
+    np.testing.assert_allclose(np.asarray(joint.encode(frame)),
+                               (np.asarray(raw1) - 0.1) / 1.5,
+                               rtol=1e-5, atol=1e-6)
+    lat1 = joint.encode(frame)
+    assert lat1.shape[1] == 1
+    rec1 = joint.decode(lat1)
+    assert rec1.shape == frame.shape
+    np.testing.assert_allclose(
+        np.asarray(rec1),
+        np.asarray(module.apply(params, lat1 * 1.5 + 0.1,
+                                method=CausalContinuousVideoTokenizer.decode)),
+        rtol=2e-4, atol=1e-5)   # jitted vs eager apply: fusion-order noise
+    # frame accounting dispatches on 1 exactly like the reference
+    assert joint.get_latent_num_frames(1) == 1
+    assert joint.get_pixel_num_frames(1) == 1
+    assert joint.get_latent_num_frames(10) == 4
+    assert joint.get_pixel_num_frames(4) == 10
+    assert joint.latent_ch == 4
+    assert joint.pixel_chunk_duration == 5
+    assert joint.latent_chunk_duration == 2
+    assert joint.temporal_compression_factor == 4
+
+    # --- squeeze-for-image joint: T axis dropped around a 2D image VAE.
+    # Stand-in 2D VAE built from the same net via a T-axis adapter module
+    # is overkill here; instead verify the squeeze contract with a spy.
+    class Spy2D:
+        def __init__(self):
+            self.shapes = []
+
+        def encode(self, x):
+            self.shapes.append(("enc", x.shape))
+            return x[..., :1]
+
+        def decode(self, z):
+            self.shapes.append(("dec", z.shape))
+            return jnp.tile(z, (1, 1, 1, 3))
+
+    spy = Spy2D()
+    joint2 = JointImageVideoTokenizer(image_vae=spy, video_vae=joint.video_vae,
+                                      squeeze_for_image=True)
+    out = joint2.encode(frame)
+    assert spy.shapes[0] == ("enc", (2, 16, 16, 3))   # T squeezed away
+    assert out.shape == (2, 1, 16, 16, 1)             # T axis restored
+    dec = joint2.decode(out)
+    assert spy.shapes[1] == ("dec", (2, 16, 16, 1))
+    assert dec.shape == (2, 1, 16, 16, 3)
+
+
+@pytest.mark.slow
+def test_video_tokenizer_per_chunk_mean_std():
+    """Per-chunk-position mean/std (reference mean_std.pt is
+    (latent_ch, latent_chunk_duration)) must broadcast per chunk, not per
+    assembled video (pretrained_vae.py:343-360)."""
+    module, params = _tiny_cv()
+    rng = np.random.default_rng(3)
+    # latent_chunk_duration = 2: distinct stats per chunk position
+    mean = jnp.asarray([[[[0.1]]], [[[0.4]]]])        # (2, 1, 1, 1)
+    std = jnp.asarray([[[[1.5]]], [[[2.5]]]])
+    tok = VideoTokenizer(module, params, pixel_chunk_duration=5,
+                         temporal_compression_factor=4,
+                         latent_mean=mean, latent_std=std)
+    raw = VideoTokenizer(module, params, pixel_chunk_duration=5,
+                         temporal_compression_factor=4)
+    video = jnp.asarray(rng.uniform(-1, 1, (1, 10, 16, 16, 3)).astype(np.float32))
+    got = np.asarray(tok.encode(video))               # (1, 4, h, w, c)
+    ref = np.asarray(raw.encode(video))
+    m = np.asarray(mean).reshape(2, 1, 1, 1)
+    s = np.asarray(std).reshape(2, 1, 1, 1)
+    for chunk in range(2):
+        sl = slice(2 * chunk, 2 * chunk + 2)
+        np.testing.assert_allclose(got[:, sl], (ref[:, sl] - m) / s,
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tok.decode(tok.encode(video))),
+                               np.asarray(raw.decode(raw.encode(video))),
+                               rtol=1e-4, atol=1e-5)
