@@ -219,6 +219,45 @@ def _quantize_blocks(x: jnp.ndarray, block: int):
     return q8, sc[:, :, 0, 0]
 
 
+def _flash_attention_int8_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    block_q: int = 1024,
+) -> jnp.ndarray:
+    """XLA emulation of `_flash_kernel_qk_int8`'s MATH: identical K
+    smoothing, per-(head, q-block) Q scales, per-token K scales, int32
+    QK accumulation, and p cast to V's dtype — but a dense softmax
+    instead of the streaming flash accumulation (fp-ordering noise only).
+    Used off-TPU so the CPU golden regression can gate the int8 variant's
+    numerics without Pallas interpret mode (minutes per call even at toy
+    shapes)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    bh = b * h
+    qt = q.transpose(0, 2, 1, 3).reshape(bh, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(bh, skv, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(bh, skv, d)
+    km = jnp.mean(kt, axis=1, keepdims=True)
+    bq = min(block_q, _ceil_to(sq, 128))
+    sq_pad = _ceil_to(sq, bq)
+    qp = jnp.pad(qt, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    q8, sqs = _quantize_blocks(qp, bq)
+    k8, sks = _quantize_rows(kt - km)
+    dots = jax.lax.dot_general(
+        q8, k8, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)
+    sq_full = jnp.repeat(sqs, bq, axis=1)[:, :sq, None]
+    logits = dots.astype(jnp.float32)[:, :sq] * (scale * sq_full) \
+        * sks[:, None, :]
+    p = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+    out = jax.lax.dot_general(
+        p, vt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def _flash_attention_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -247,6 +286,11 @@ def _flash_attention_pallas(
 
     vp = prep(v, skv_pad)
     common = dict(
+        # off-TPU the kernel runs in Pallas interpret mode: orders of
+        # magnitude slower, but it lets the CPU golden regression gate
+        # the int8 variant's numerics (the auto backend never picks
+        # pallas off-TPU; only explicit backend= requests land here)
+        interpret=jax.default_backend() != "tpu",
         grid=(b * h, sq_pad // block_q, skv_pad // block_k),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
@@ -334,6 +378,10 @@ def flash_attention(
     if backend == "pallas":
         return _flash_attention_pallas(q, k, v, scale)
     if backend == "pallas_int8":
+        if jax.default_backend() != "tpu":
+            # same quantization math, XLA lowering: lets the CPU golden
+            # regression gate the variant (interpret mode is minutes/call)
+            return _flash_attention_int8_xla(q, k, v, scale)
         return _flash_attention_pallas(q, k, v, scale, qk_int8=True)
     if backend == "xla":
         return _flash_attention_xla(q, k, v, scale)
