@@ -244,12 +244,11 @@ def main() -> int:
             "alpha_t": float(os.environ.get("BENCH_ALPHA_T", 0.0)),
             # yt-pass chunk size (0 = auto; see Generator._yt_chunk_size)
             "chunk_size_t": int(os.environ.get("BENCH_CHUNK_T", 0)),
-            # int8 QK attention (ops/attention.py pallas_int8): TPU
-            # default ON since the 2026-08-20 metric-neutrality eval
-            # (tools/eval_qk_int8.py); BENCH_QK_INT8=0/1 forces it
-            "attn_qk_int8": (
-                bool(int(os.environ["BENCH_QK_INT8"]))
-                if os.environ.get("BENCH_QK_INT8") is not None else None),
+            # int8 QK attention (ops/attention.py pallas_int8): metric-
+            # neutral (tools/eval_qk_int8.py) but toolchain-dependent
+            # speed — eval-gated, off by default (PERF_NOTES round 5)
+            "attn_qk_int8": bool(int(os.environ.get("BENCH_QK_INT8", "0"))),
+            "attn_pv_int8": bool(int(os.environ.get("BENCH_PV_INT8", "0"))),
             "final_factor_t": 0.01, "win_size_t": 64,
             "prompt_t": "best quality", "negative_prompt_t": "jittery",
             "negative_prompt": "low quality", "save_frame": False,

@@ -199,6 +199,58 @@ def _flash_kernel_qk_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_int8_full(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
+                            o_ref, m_ref, l_ref, acc_ref,
+                            *, scale, kv_len, block_k):
+    """`_flash_kernel_qk_int8` with the PV matmul ALSO in int8:
+    V arrives quantized per (head, channel) — the per-channel scale
+    factors out of the KV-token sum, so the int32 dot dequantizes with
+    one (1, d) row-vector multiply — and p is quantized per (query row,
+    kv block) against its own block max (p <= 1 by construction; the
+    row max keeps ~7 bits of relative precision in every block).
+    l (the softmax denominator) still accumulates the EXACT f32 p."""
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+    bq = q_ref.shape[1]
+
+    @pl.when(kv_idx == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dots = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, bk) int32
+    logits = dots.astype(jnp.float32) * (
+        (scale * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
+    logits = jnp.where(col < kv_len, logits, -1e30)
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_cur)
+    p = jnp.exp(logits - m_cur)
+    l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    sp = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-30)
+    p8 = jnp.round(p * (127.0 / sp)).astype(jnp.int8)
+    pv = jax.lax.dot_general(
+        p8, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (bq, d_pad) int32, exact
+    # sv (like sq/sk) is amax/127, i.e. v ~= v8 * sv; p ~= p8 * sp/127
+    acc_ref[:] = acc_ref[:] * alpha + pv.astype(jnp.float32) * (
+        (sp / 127.0) * sv_ref[0, 0:1, :])
+    m_ref[:] = m_cur
+    l_ref[:] = l_cur
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+
+
 def _quantize_rows(x: jnp.ndarray):
     """Symmetric per-row int8 quantization over the last axis:
     returns (int8 values, f32 scales with the last axis dropped)."""
@@ -219,19 +271,32 @@ def _quantize_blocks(x: jnp.ndarray, block: int):
     return q8, sc[:, :, 0, 0]
 
 
+def _quantize_channels(x: jnp.ndarray):
+    """Symmetric per-CHANNEL int8 quantization of (N, S, D) over the S
+    axis: returns (int8 values, (N, D) scales). Per-channel scales
+    factor out of a P@V token sum, which per-token scales cannot."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    s = jnp.maximum(amax, 1e-6) / 127.0
+    q8 = jnp.round(x.astype(jnp.float32) / s).astype(jnp.int8)
+    return q8, s[:, 0, :]
+
+
 def _flash_attention_int8_xla(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
     block_q: int = 1024,
+    block_k: int = 1024,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
-    """XLA emulation of `_flash_kernel_qk_int8`'s MATH: identical K
-    smoothing, per-(head, q-block) Q scales, per-token K scales, int32
-    QK accumulation, and p cast to V's dtype — but a dense softmax
-    instead of the streaming flash accumulation (fp-ordering noise only).
-    Used off-TPU so the CPU golden regression can gate the int8 variant's
-    numerics without Pallas interpret mode (minutes per call even at toy
+    """XLA emulation of the int8 kernels' MATH: identical K smoothing,
+    per-(head, q-block) Q scales, per-token K scales, int32 QK
+    accumulation, and (with `pv_int8`) per-channel V + per-(row,
+    kv-block) P quantization — but a dense softmax instead of the
+    streaming flash accumulation (fp-ordering noise only). Used off-TPU
+    so the CPU golden regression can gate the int8 variants' numerics
+    without Pallas interpret mode (minutes per call even at toy
     shapes)."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -251,10 +316,25 @@ def _flash_attention_int8_xla(
     sq_full = jnp.repeat(sqs, bq, axis=1)[:, :sq, None]
     logits = dots.astype(jnp.float32)[:, :sq] * (scale * sq_full) \
         * sks[:, None, :]
-    p = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
-    out = jax.lax.dot_general(
-        p, vt, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+    if pv_int8:
+        bk = min(block_k, _ceil_to(skv, 128))
+        skv_pad = _ceil_to(skv, bk)
+        pf = jax.nn.softmax(logits, axis=-1)
+        pf = jnp.pad(pf, ((0, 0), (0, 0), (0, skv_pad - skv)))
+        pb = pf.reshape(bh, sq, skv_pad // bk, bk)
+        sp = jnp.maximum(jnp.max(pb, axis=-1, keepdims=True), 1e-30)
+        p8 = jnp.round(pb * (127.0 / sp))
+        p_deq = (p8 * (sp / 127.0)).reshape(bh, sq, skv_pad)[:, :, :skv]
+        v8, svs = _quantize_channels(vt)
+        v_deq = v8.astype(jnp.float32) * svs[:, None, :]
+        out = jax.lax.dot_general(
+            p_deq, v_deq, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+    else:
+        p = jax.nn.softmax(logits, axis=-1).astype(vt.dtype)
+        out = jax.lax.dot_general(
+            p, vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
     return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3).astype(q.dtype)
 
 
@@ -266,6 +346,7 @@ def _flash_attention_pallas(
     block_q: int = 1024,
     block_k: int = 1024,
     qk_int8: bool = False,
+    pv_int8: bool = False,
 ) -> jnp.ndarray:
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -341,17 +422,35 @@ def _flash_attention_pallas(
             sks.reshape(b * h, n_kv, 1, block_k), (b * h, n_kv, 8, block_k)
         ).reshape(b * h, n_kv * 8, block_k)
 
-        out = pl.pallas_call(
-            functools.partial(
-                _flash_kernel_qk_int8, scale=scale, kv_len=skv,
-                block_k=block_k,
-            ),
-            in_specs=qkv_spec + [
-                pl.BlockSpec((1, 8, 128), lambda i, j, kk: (i, j, 0)),
-                pl.BlockSpec((1, 8, block_k), lambda i, j, kk: (i, kk, 0)),
-            ],
-            **common,
-        )(q8, k8, vp, sq_t, sk_t)
+        scale_specs = [
+            pl.BlockSpec((1, 8, 128), lambda i, j, kk: (i, j, 0)),
+            pl.BlockSpec((1, 8, block_k), lambda i, j, kk: (i, kk, 0)),
+        ]
+        if pv_int8:
+            # V per-(head, channel) int8 + a broadcast (8, d_pad) scale
+            # tile per head (kernel reads [0, 0:1, :])
+            v8, svs = _quantize_channels(vp)
+            sv_t = jnp.broadcast_to(
+                svs[:, None, :], (b * h, 8, d_pad))
+            out = pl.pallas_call(
+                functools.partial(
+                    _flash_kernel_int8_full, scale=scale, kv_len=skv,
+                    block_k=block_k,
+                ),
+                in_specs=qkv_spec + scale_specs + [
+                    pl.BlockSpec((1, 8, d_pad), lambda i, j, kk: (i, 0, 0)),
+                ],
+                **common,
+            )(q8, k8, v8, sq_t, sk_t, sv_t)
+        else:
+            out = pl.pallas_call(
+                functools.partial(
+                    _flash_kernel_qk_int8, scale=scale, kv_len=skv,
+                    block_k=block_k,
+                ),
+                in_specs=qkv_spec + scale_specs,
+                **common,
+            )(q8, k8, vp, sq_t, sk_t)
     out = out.reshape(b, h, sq_pad, d_pad)[:, :, :sq, :d]
     return out.transpose(0, 2, 1, 3)
 
@@ -367,8 +466,9 @@ def flash_attention(
 
     backend: None = auto (Pallas on TPU, scan fallback elsewhere),
     'pallas', 'pallas_int8' (QK contraction int8 on the MXU — ~exact
-    softmax via K smoothing, quantization error ~1e-2 relative; eval-gated,
-    never the default), 'xla', or 'naive'."""
+    softmax via K smoothing, quantization error ~1e-2 relative; TPU
+    default since the 2026-08-20 metric-neutrality eval),
+    'pallas_int8pv' (QK AND PV int8 — eval-gated), 'xla', or 'naive'."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if backend is None:
@@ -377,12 +477,14 @@ def flash_attention(
         backend = "pallas" if use_pallas() else "xla"
     if backend == "pallas":
         return _flash_attention_pallas(q, k, v, scale)
-    if backend == "pallas_int8":
+    if backend in ("pallas_int8", "pallas_int8pv"):
+        pv = backend.endswith("pv")
         if jax.default_backend() != "tpu":
             # same quantization math, XLA lowering: lets the CPU golden
             # regression gate the variant (interpret mode is minutes/call)
-            return _flash_attention_int8_xla(q, k, v, scale)
-        return _flash_attention_pallas(q, k, v, scale, qk_int8=True)
+            return _flash_attention_int8_xla(q, k, v, scale, pv_int8=pv)
+        return _flash_attention_pallas(q, k, v, scale, qk_int8=True,
+                                       pv_int8=pv)
     if backend == "xla":
         return _flash_attention_xla(q, k, v, scale)
     return dot_product_attention(q, k, v, scale)

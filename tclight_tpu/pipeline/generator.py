@@ -116,17 +116,19 @@ class Generator:
         # have their own batch layouts and keep the plain forward
         self.cfg_dedup = bool(_cfg_get(gen, "cfg_dedup", True))
 
-        # int8 QK attention (ops/attention.py 'pallas_int8'): 2x MXU rate
-        # on the QK contraction. DEFAULT ON for TPU since the 2026-08-20
-        # quality eval (tools/eval_qk_int8.py, full e2e pipeline fp vs
-        # int8 on identical seeds): SSIM 0.9995, ~52 dB PSNR, warp-L1
-        # delta 0.09% — metric-neutral. `attn_qk_int8: false` opts out;
-        # off-TPU the auto default stays fp (the XLA int8 emulation is
-        # for golden-gating, not speed).
-        qk_int8 = _cfg_get(gen, "attn_qk_int8", None)
-        if qk_int8 is None:
-            qk_int8 = jax.default_backend() == "tpu"
-        self.attn_backend = "pallas_int8" if qk_int8 else None
+        # int8 QK / QK+PV attention (ops/attention.py 'pallas_int8[pv]').
+        # QUALITY is settled — the 2026-08-20 e2e eval
+        # (tools/eval_qk_int8.py) measured SSIM 0.9995 / ~52 dB PSNR /
+        # warp-L1 delta 0.09%, metric-neutral — but the SPEED is
+        # toolchain-dependent: round-4 measured the int8 QK kernel at
+        # 1.35x, the 2026-08-20 toolchain runs it at 0.94x isolated and
+        # ±1% in-pipeline (PERF_NOTES round 5). Both stay eval-gated
+        # (default OFF) until a toolchain delivers the int8 MXU rate.
+        qk_int8 = bool(_cfg_get(gen, "attn_qk_int8", False))
+        pv_int8 = bool(_cfg_get(gen, "attn_pv_int8", False)) and qk_int8
+        self.attn_backend = (
+            "pallas_int8pv" if pv_int8
+            else "pallas_int8" if qk_int8 else None)
         self.models = models.with_tome(
             self.tome_spec, attn_backend=self.attn_backend)
         self.scheduler = dataclasses.replace(

@@ -37,7 +37,8 @@ RTOL = {
 }
 
 
-def _measure(tmp_path, attn_qk_int8: bool = False):
+def _measure(tmp_path, attn_qk_int8: bool = False,
+             attn_pv_int8: bool = False):
     rng = np.random.default_rng(0)
     base = rng.uniform(0.2, 0.8, (32, 32, 3)).astype(np.float32)
     frames = np.stack([np.roll(base, 2 * t, axis=1) for t in range(6)])
@@ -53,6 +54,7 @@ def _measure(tmp_path, attn_qk_int8: bool = False):
             chunk_ord="mix-4", local_merge_ratio=0.5, merge_global=True,
             global_merge_ratio=0.5, align_batch=True, max_downsample=2,
             noise_mode="same", alpha_t=0.0, attn_qk_int8=attn_qk_int8,
+            attn_pv_int8=attn_pv_int8,
             final_factor_t=0.01,
             win_size_t=4, prompt_t="best quality",
             negative_prompt_t="jittery", negative_prompt="bad quality",
@@ -94,6 +96,7 @@ def _measure(tmp_path, attn_qk_int8: bool = False):
 VARIANTS = {
     "default": (dict(), 1.0),
     "qk_int8": (dict(attn_qk_int8=True), 8.0),
+    "qk_pv_int8": (dict(attn_qk_int8=True, attn_pv_int8=True), 12.0),
     "banded_uvt": (dict(), 1.5),
 }
 

@@ -48,17 +48,26 @@ def main() -> int:
     f_exact = jax.jit(lambda: flash_attention(q, k, v, backend="pallas"))
     f_int8 = jax.jit(lambda: flash_attention(q, k, v, backend="pallas_int8"))
 
+    f_int8pv = jax.jit(
+        lambda: flash_attention(q, k, v, backend="pallas_int8pv"))
+
     print("compiling/timing exact...", flush=True)
     t_exact, o_exact = timeit(f_exact)
     print(f"pallas bf16 : {t_exact*1e3:8.2f} ms/call", flush=True)
     print("compiling/timing int8...", flush=True)
     t_int8, o_int8 = timeit(f_int8)
-    err = np.abs(np.asarray(o_int8, np.float32) - np.asarray(o_exact, np.float32))
-    denom = np.abs(np.asarray(o_exact, np.float32)).max()
+    print("compiling/timing int8+pv...", flush=True)
+    t_pv, o_pv = timeit(f_int8pv)
+    ref = np.asarray(o_exact, np.float32)
+    denom = np.abs(ref).max()
+    err = np.abs(np.asarray(o_int8, np.float32) - ref)
+    err_pv = np.abs(np.asarray(o_pv, np.float32) - ref)
     print(f"shape b={b} sq={sq} h={h} d={d}")
-    print(f"pallas bf16 : {t_exact*1e3:8.2f} ms/call")
-    print(f"pallas int8 : {t_int8*1e3:8.2f} ms/call  "
+    print(f"pallas bf16    : {t_exact*1e3:8.2f} ms/call")
+    print(f"pallas int8 QK : {t_int8*1e3:8.2f} ms/call  "
           f"({t_exact/t_int8:.2f}x)  max_rel_err={err.max()/denom:.2e}")
+    print(f"pallas int8 QKPV: {t_pv*1e3:7.2f} ms/call  "
+          f"({t_exact/t_pv:.2f}x)  max_rel_err={err_pv.max()/denom:.2e}")
     return 0
 
 

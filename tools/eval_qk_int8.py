@@ -21,6 +21,7 @@ matter for the task (temporal consistency + content preservation).
 import sys as _sys
 from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+import argparse
 import json
 import os
 import time
@@ -34,6 +35,12 @@ from tclight_tpu.eval.metrics import psnr, ssim_gaussian
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pv", action="store_true",
+                    help="evaluate int8 PV on top of int8 QK (baseline "
+                         "becomes QK-int8 so the PV change is isolated)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -76,9 +83,10 @@ def main():
     work.mkdir(parents=True, exist_ok=True)
     vid_dir, _ = bench.make_synthetic(work, n, h, w, shift=shift)
 
-    def make_cfg(int8: bool) -> ConfigDict:
+    def make_cfg(variant: tuple) -> ConfigDict:
+        qk, pv, tag = variant
         return ConfigDict({
-            "work_dir": str(work / ("wd_int8" if int8 else "wd_fp")),
+            "work_dir": str(work / f"wd_{tag}"),
             "data": {"scene_type": "video", "rgb_path": str(vid_dir),
                      "height": h, "width": w, "fps": 25,
                      "flow_model": "farneback"},
@@ -88,7 +96,8 @@ def main():
                 "merge_global": True, "global_merge_ratio": 0.5,
                 "align_batch": True, "max_downsample": 2,
                 "noise_mode": "same", "alpha_t": 0.0,
-                "attn_qk_int8": int8, "final_factor_t": 0.01,
+                "attn_qk_int8": qk, "attn_pv_int8": pv,
+                "final_factor_t": 0.01,
                 "win_size_t": 64, "prompt_t": "best quality",
                 "negative_prompt_t": "jittery",
                 "negative_prompt": "low quality", "save_frame": False,
@@ -103,28 +112,33 @@ def main():
             "seed": 7,
         })
 
+    if args.pv:
+        variants = ((True, False, "qk8"), (True, True, "qk8pv8"))
+    else:
+        variants = ((False, False, "fp"), (True, False, "qk8"))
+    base_tag, test_tag = variants[0][2], variants[1][2]
     outs = {}
-    for name, int8 in (("fp", False), ("int8", True)):
+    for variant in variants:
         # the post-opt offload DELETES the UNet device params at the end
         # of each run; rebuild before constructing the next Generator
         try:
-            jax.tree.leaves(models.unet_params)[0].is_deleted()
             deleted = jax.tree.leaves(models.unet_params)[0].is_deleted()
         except Exception:  # noqa: BLE001 — None or host arrays
             deleted = models.unet_params is None
         if deleted:
             models.unet_params = make_unet_params()
-        parser = VideoDataParser(make_cfg(int8).data)
-        gen = Generator(models, make_cfg(int8), data_parser=parser)
+        tag = variant[2]
+        parser = VideoDataParser(make_cfg(variant).data)
+        gen = Generator(models, make_cfg(variant), data_parser=parser)
         t0 = time.time()
-        outs[name] = np.asarray(
-            gen(None, str(work / f"out_{name}"), list(range(n)))["qk"],
+        outs[tag] = np.asarray(
+            gen(None, str(work / f"out_{tag}"), list(range(n)))["qk"],
             np.float32)
-        print(f"[{name}] pipeline {time.time()-t0:.1f}s "
+        print(f"[{tag}] pipeline {time.time()-t0:.1f}s "
               f"stages {getattr(gen, 'stage_times', {})}", flush=True)
 
     # pipeline outputs are uint8-scale (0..255); psnr/ssim assume range 1.0
-    a, b_ = outs["fp"] / 255.0, outs["int8"] / 255.0
+    a, b_ = outs[base_tag] / 255.0, outs[test_tag] / 255.0
 
     def warp_l1(out):
         rolled = np.stack([np.roll(out[t], shift, axis=1)
@@ -132,21 +146,22 @@ def main():
         return float(np.abs(rolled - out[1:]).mean())
 
     res = {
-        "psnr_fp_vs_int8": round(psnr(a, b_), 2),
-        "ssim_fp_vs_int8": round(float(np.mean(
+        "base": base_tag, "test": test_tag,
+        "psnr_base_vs_test": round(psnr(a, b_), 2),
+        "ssim_base_vs_test": round(float(np.mean(
             [ssim_gaussian(a[t], b_[t]) for t in range(n)])), 4),
-        "warp_l1_fp": round(warp_l1(a), 5),
-        "warp_l1_int8": round(warp_l1(b_), 5),
-        "out_mean_fp": round(float(a.mean()), 5),
-        "out_mean_int8": round(float(b_.mean()), 5),
-        "out_std_fp": round(float(a.std()), 5),
-        "out_std_int8": round(float(b_.std()), 5),
+        f"warp_l1_{base_tag}": round(warp_l1(a), 5),
+        f"warp_l1_{test_tag}": round(warp_l1(b_), 5),
+        f"out_mean_{base_tag}": round(float(a.mean()), 5),
+        f"out_mean_{test_tag}": round(float(b_.mean()), 5),
+        f"out_std_{base_tag}": round(float(a.std()), 5),
+        f"out_std_{test_tag}": round(float(b_.std()), 5),
     }
     res["warp_l1_rel_delta"] = round(
-        abs(res["warp_l1_int8"] - res["warp_l1_fp"])
-        / max(res["warp_l1_fp"], 1e-9), 4)
-    res["neutral"] = bool(res["psnr_fp_vs_int8"] >= 35.0
-                          and res["ssim_fp_vs_int8"] >= 0.95
+        abs(res[f"warp_l1_{test_tag}"] - res[f"warp_l1_{base_tag}"])
+        / max(res[f"warp_l1_{base_tag}"], 1e-9), 4)
+    res["neutral"] = bool(res["psnr_base_vs_test"] >= 35.0
+                          and res["ssim_base_vs_test"] >= 0.95
                           and res["warp_l1_rel_delta"] <= 0.05)
     print(json.dumps(res), flush=True)
 
