@@ -31,6 +31,24 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# exp(x) = exp2(x * log2(e)): folding log2(e) into the logit scale lets the
+# kernels run the online softmax entirely in log2 space with exp2, saving
+# exp's internal multiply over every (block_q, block_k) tile
+_LOG2E = 1.4426950408889634
+
+
+def _softmax_mask_p(p, kv_idx, kv_len, block_k):
+    """Zero the padded-KV columns of an exp'd probability tile with one
+    row-broadcast multiply. Padded K rows are zeros, so their logits are
+    exactly 0 — a valid extra upper bound for the online max — and zeroing
+    p removes them from l and acc exactly. This replaces the full-tile
+    iota + compare + select (3 VPU ops over (bq, bk)) the kernels used to
+    run on EVERY kv block with one multiply."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
+        + kv_idx * block_k
+    return p * (col < kv_len).astype(p.dtype)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -113,7 +131,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     q (1, bq, d), k/v (1, bk, d), o (1, bq, d)."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
-    bq, d = q_ref.shape[1], q_ref.shape[2]
 
     @pl.when(kv_idx == 0)
     def _():
@@ -123,21 +140,21 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     # keep matmul operands in the input dtype (bf16 in the SD1.5 path):
     # bf16 x bf16 -> f32 runs the MXU at 2x f32 throughput; accumulation
-    # and the online softmax stay in f32.
+    # and the online softmax stay in f32 — in log2 space (see _LOG2E).
     q = q_ref[0]
     k_blk = k_ref[0]
     v_blk = v_ref[0]
-    logits = scale * jax.lax.dot_general(
+    logits = (scale * _LOG2E) * jax.lax.dot_general(
         q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
-    logits = jnp.where(col < kv_len, logits, -1e30)
+    )  # (bq, bk), log2 space
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
     m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(logits - m_cur)
+    alpha = jnp.exp2(m_prev - m_cur)
+    p = jnp.exp2(logits - m_cur)
+    if kv_len % block_k:  # static: padded KV columns exist (last block only)
+        p = _softmax_mask_p(p, kv_idx, kv_len, block_k)
     l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -163,7 +180,6 @@ def _flash_kernel_qk_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
     from `_flash_kernel`."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
-    bq = q_ref.shape[1]
 
     @pl.when(kv_idx == 0)
     def _():
@@ -177,15 +193,15 @@ def _flash_kernel_qk_int8(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
         preferred_element_type=jnp.int32,
     )  # (bq, bk) int32
     logits = dots.astype(jnp.float32) * (
-        (scale * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
-    logits = jnp.where(col < kv_len, logits, -1e30)
+        (scale * _LOG2E * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
     m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(logits - m_cur)
+    alpha = jnp.exp2(m_prev - m_cur)
+    p = jnp.exp2(logits - m_cur)
+    if kv_len % block_k:  # padded smoothed-K rows are zeros -> logits 0
+        p = _softmax_mask_p(p, kv_idx, kv_len, block_k)
     l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -211,7 +227,6 @@ def _flash_kernel_int8_full(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
     l (the softmax denominator) still accumulates the EXACT f32 p."""
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
-    bq = q_ref.shape[1]
 
     @pl.when(kv_idx == 0)
     def _():
@@ -224,15 +239,15 @@ def _flash_kernel_int8_full(q_ref, k_ref, v_ref, sq_ref, sk_ref, sv_ref,
         preferred_element_type=jnp.int32,
     )  # (bq, bk) int32
     logits = dots.astype(jnp.float32) * (
-        (scale * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + kv_idx * block_k
-    logits = jnp.where(col < kv_len, logits, -1e30)
+        (scale * _LOG2E * sq_ref[0, 0, 0]) * sk_ref[0, 0:1, :])
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
     m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_cur)
-    p = jnp.exp(logits - m_cur)
+    alpha = jnp.exp2(m_prev - m_cur)
+    p = jnp.exp2(logits - m_cur)
+    if kv_len % block_k:  # padded smoothed-K rows are zeros -> logits 0
+        p = _softmax_mask_p(p, kv_idx, kv_len, block_k)
     l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     sp = jnp.maximum(jnp.max(p, axis=-1, keepdims=True), 1e-30)
     p8 = jnp.round(p * (127.0 / sp)).astype(jnp.int8)

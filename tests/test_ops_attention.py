@@ -49,6 +49,25 @@ def test_pallas_interpret_matches_naive(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+def test_pallas_interpret_multiblock_ragged_kv(rng):
+    # >1 KV block with a padded final block: the post-exp row mask must
+    # zero only the padded columns while earlier blocks skip nothing
+    from jax.experimental import pallas as pl
+    from tclight_tpu.ops import attention as A
+    import functools
+
+    q, k, v = _make_qkv(rng, b=1, sq=130, skv=1500, h=1, d=24)
+    ref = dot_product_attention(q, k, v)
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        out = A._flash_attention_pallas(q, k, v, scale=1.0 / np.sqrt(24))
+    finally:
+        pl.pallas_call = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
 def test_softmax_scale_override(rng):
     q, k, v = _make_qkv(rng, sq=16, skv=16, h=1, d=8)
     out1 = flash_attention(q, k, v, scale=0.5, backend="xla")

@@ -1,0 +1,65 @@
+"""On-TPU numerical parity of the Pallas flash-attention kernel against the
+XLA online-softmax fallback (same math, different lowering) plus a timed
+level-0-shape call. Run after kernel changes: the CPU interpret-mode tests
+validate semantics, this validates the Mosaic lowering on real hardware.
+
+Usage: python tools/check_attn_parity_tpu.py [sq] [heads] [batch]
+"""
+
+from __future__ import annotations
+
+import sys as _sys
+import time
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main() -> int:
+    argv = _sys.argv[1:]
+    sq = int(argv[0]) if argv else 4500
+    h = int(argv[1]) if len(argv) > 1 else 8
+    b = int(argv[2]) if len(argv) > 2 else 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from tclight_tpu.ops.attention import flash_attention
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    d = 40
+    q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, sq, h, d)) + 0.7, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.bfloat16)
+
+    f_pallas = jax.jit(lambda: flash_attention(q, k, v, backend="pallas"))
+    f_xla = jax.jit(lambda: flash_attention(q, k, v, backend="xla"))
+
+    out_p = np.asarray(f_pallas(), np.float32)
+    out_x = np.asarray(f_xla(), np.float32)
+    denom = np.maximum(np.abs(out_x), 1e-3)
+    rel = np.abs(out_p - out_x) / denom
+    print(f"pallas vs xla: max_rel {rel.max():.3e}  mean_rel {rel.mean():.3e}")
+    ok = rel.max() < 2e-2  # bf16 inputs + ordering noise
+    print("PARITY", "OK" if ok else "FAIL")
+
+    # timed call at the requested shape
+    def timeit(fn, n=10):
+        out = fn()
+        _ = np.asarray(out).ravel()[:1]
+        t0 = time.perf_counter()
+        for _i in range(n):
+            out = fn()
+        _ = np.asarray(out).ravel()[:1]
+        return (time.perf_counter() - t0) / n
+
+    print(f"pallas {timeit(f_pallas)*1e3:.1f} ms/call at "
+          f"(b={b}, sq={sq}, h={h}, d={d})")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
