@@ -31,6 +31,15 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _on_tpu() -> bool:
+    """Lowering gate that respects utils.device.set_compute_platform (the
+    process default backend can be the tunneled TPU while a virtual-CPU
+    mesh is the actual compute target, e.g. the driver's dryrun)."""
+    from tclight_tpu.utils.device import use_pallas
+
+    return use_pallas()
+
+
 # exp(x) = exp2(x * log2(e)): folding log2(e) into the logit scale lets the
 # kernels run the online softmax entirely in log2 space with exp2, saving
 # exp's internal multiply over every (block_q, block_k) tile
@@ -386,7 +395,7 @@ def _flash_attention_pallas(
         # magnitude slower, but it lets the CPU golden regression gate
         # the int8 variant's numerics (the auto backend never picks
         # pallas off-TPU; only explicit backend= requests land here)
-        interpret=jax.default_backend() != "tpu",
+        interpret=not _on_tpu(),
         grid=(b * h, sq_pad // block_q, skv_pad // block_k),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d_pad), q.dtype),
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, kk: (i, j, 0)),
@@ -494,7 +503,7 @@ def flash_attention(
         return _flash_attention_pallas(q, k, v, scale)
     if backend in ("pallas_int8", "pallas_int8pv"):
         pv = backend.endswith("pv")
-        if jax.default_backend() != "tpu":
+        if not _on_tpu():
             # same quantization math, XLA lowering: lets the CPU golden
             # regression gate the variant (interpret mode is minutes/call)
             return _flash_attention_int8_xla(q, k, v, scale, pv_int8=pv)

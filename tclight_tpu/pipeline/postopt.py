@@ -427,7 +427,9 @@ def _palette_gather_banded(dims, features, fseg, fst, foff, fovf_pos,
 
 
 def _banded_interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from tclight_tpu.utils.device import use_pallas
+
+    return not use_pallas()
 
 
 def _palette_gather_banded_fwd(dims, features, fseg, fst, foff, fovf_pos,
@@ -634,7 +636,13 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
     serves many prompts per video, and the host-side planning +
     device upload costs ~15-20 s at 30x720x960."""
     if allow_banded is None:
-        allow_banded = jax.default_backend() == "tpu"
+        # respects set_compute_platform: a virtual-CPU mesh inside a
+        # process whose default backend is the tunneled TPU (the driver's
+        # multichip dryrun after entry() initialized the TPU client) must
+        # NOT pick the banded Pallas plans
+        from tclight_tpu.utils.device import use_pallas
+
+        allow_banded = use_pallas()
     hw = h * w
     inv_np = np.asarray(unq_inv, np.int32).reshape(n, hw)
     import hashlib

