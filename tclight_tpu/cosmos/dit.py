@@ -97,7 +97,7 @@ class DiTConfig:
     def tiny() -> "DiTConfig":
         return DiTConfig(in_channels=4, out_channels=4, model_channels=64,
                          num_blocks=2, num_heads=4, context_dim=32,
-                         max_frames=4, max_img_h=16, max_img_w=16)
+                         max_frames=8, max_img_h=16, max_img_w=16)
 
     @staticmethod
     def faditv2_7b(**overrides) -> "DiTConfig":
@@ -383,6 +383,12 @@ class LearnablePosEmbAxis(nn.Module):
     @nn.compact
     def __call__(self, t: int, h: int, w: int):
         cfg = self.cfg
+        # a silent `emb[:t]` clamp on an oversized grid mis-shapes the
+        # summed embedding and the final reshape scrambles channels
+        assert t <= self.len_t and h <= self.len_h and w <= self.len_w, (
+            f"latent grid ({t},{h},{w}) exceeds the learnable pos-emb "
+            f"tables ({self.len_t},{self.len_h},{self.len_w}) — raise "
+            f"max_frames/max_img_h/max_img_w")
         init = nn.initializers.truncated_normal(0.02)
         emb_h = self.param("pos_emb_h", init, (self.len_h, cfg.model_channels))
         emb_w = self.param("pos_emb_w", init, (self.len_w, cfg.model_channels))
