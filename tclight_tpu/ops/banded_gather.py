@@ -50,7 +50,7 @@ def _offs_dtype(window: int, n_windows: int = 1):
 
 def plan_banded_gather(indices: np.ndarray, block: int = 512,
                        window: int = 2048, group: int = 8,
-                       max_ovf_frac: float = 0.0):
+                       max_ovf_frac: float = 0.0, slope: float = 2.0):
     """indices (..., L) int -> (seg_starts (NG,), starts (NB,),
     offs (NB, block), ok).
 
@@ -130,7 +130,7 @@ def plan_banded_gather(indices: np.ndarray, block: int = 512,
     fill = np.where(prev >= 0, prev, np.minimum(nxt, nb_row - 1))
     lo2 = lo.reshape(-1, nb_row)
     lo = np.take_along_axis(lo2, fill, axis=1).reshape(-1)
-    segn_ids = seg_tiles(window, block, group) * _TILE
+    segn_ids = seg_tiles(window, block, group, slope) * _TILE
     if max_ovf_frac > 0.0:
         # groups whose windows span more than one DMA segment (id bands
         # jumping WITHIN a group, e.g. the adjoint plan at track-creation
@@ -183,13 +183,35 @@ def seg_tiles(window: int, block: int, group: int, slope: float = 2.0
     return (ids + _TILE - 1) // _TILE
 
 
+def banded_geometry(value_range: int, outputs_per_row: int,
+                    block: int = 512) -> tuple[int, float]:
+    """(window, slope) for a gather whose per-row values span
+    `value_range` ids over `outputs_per_row` outputs.
+
+    The id DENSITY d = value_range / outputs_per_row drives both statics:
+    a monotone block of `block` outputs spans ~block*d ids (the window
+    must cover it) and consecutive block windows advance ~d ids per
+    output (the per-group DMA segment must keep up — seg_tiles' slope).
+    The historical defaults (2048, 2.0) assumed d <= 2; long videos with
+    real-footage track turnover measure d ~ 3.5-5.5 (3.55M tracks over
+    0.92M pixels at 300x1280x720 with 1%/frame churn), where fixed
+    geometry demotes nearly every group and the planner rejects ~50% of
+    entries regardless of window size (PERF_NOTES round 5)."""
+    d = value_range / max(outputs_per_row, 1)
+    if d <= 2.0:
+        return 2048, 2.0
+    window = 4096 if d <= 5.0 else 8192
+    # margin above the measured density; round for a stable static key
+    return window, round(d + 0.5, 3)
+
+
 def pack_table(table, window: int = 2048, block: int = 512,
-               group: int = 8):
+               group: int = 8, slope: float = 2.0):
     """(P, C<=8) -> (P_pad/128, 8, 128) f32 with a segment-length tail
     margin so every planned segment DMA is in-bounds."""
     p, c = table.shape
     assert c <= _CPAD, c
-    nt = (p + _TILE - 1) // _TILE + seg_tiles(window, block, group)
+    nt = (p + _TILE - 1) // _TILE + seg_tiles(window, block, group, slope)
     out = jnp.zeros((nt * _TILE, _CPAD), jnp.float32)
     out = out.at[:p, :c].set(table.astype(jnp.float32))
     return out.reshape(nt, _TILE, _CPAD).transpose(0, 2, 1)
@@ -208,7 +230,8 @@ def plan_banded_gather_rows(indices: np.ndarray, block: int = 512,
 
 def plan_banded_gather_rows_robust(indices: np.ndarray, block: int = 512,
                                    window: int = 2048, group: int = 8,
-                                   max_ovf_frac: float = 0.08):
+                                   max_ovf_frac: float = 0.08,
+                                   slope: float = 2.0):
     """Robust per-row plans: (seg (R, NG), starts (R, NB),
     offs (R, NB, block), ovf_pos (R, K), ovf_ids (R, K), ok).
 
@@ -219,7 +242,8 @@ def plan_banded_gather_rows_robust(indices: np.ndarray, block: int = 512,
     count over rows."""
     r, length = indices.shape
     seg, starts, offs, ok, ovf_mask = plan_banded_gather(
-        indices, block, window, group, max_ovf_frac=max_ovf_frac)
+        indices, block, window, group, max_ovf_frac=max_ovf_frac,
+        slope=slope)
     nb = row_blocks(length, block, group)
     lpad = nb * block
     ovf = ovf_mask.reshape(r, lpad)[:, :length]
@@ -236,7 +260,7 @@ def plan_banded_gather_rows_robust(indices: np.ndarray, block: int = 512,
 
 
 def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
-                n_windows: int, max_ovf_frac: float):
+                n_windows: int, max_ovf_frac: float, slope: float = 2.0):
     """K-window planning core: greedy residual passes.
 
     Long videos accumulate track creation generations until scanline
@@ -265,7 +289,7 @@ def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
     blocks = rows.reshape(-1, block)
     live = blocks >= 0
     residual = live.copy()
-    segn_ids = seg_tiles(window, block, group) * _TILE
+    segn_ids = seg_tiles(window, block, group, slope) * _TILE
     offs = np.full(blocks.shape, -1, np.int32)
     seg_list, lo_list = [], []
     for k in range(n_windows):
@@ -325,7 +349,8 @@ def _plan_multi(indices: np.ndarray, block: int, window: int, group: int,
 def plan_banded_gather_rows_multi(indices: np.ndarray, block: int = 512,
                                   window: int = 2048, group: int = 8,
                                   n_windows: int = 3,
-                                  max_ovf_frac: float = 0.08):
+                                  max_ovf_frac: float = 0.08,
+                                  slope: float = 2.0):
     """K-window per-row plans for an (R, L) index array:
     (seg (R, NG, K), starts (R, NB, K), offs (R, NB, block),
     ovf_pos (R, Kov), ovf_ids (R, Kov), ok).
@@ -336,7 +361,7 @@ def plan_banded_gather_rows_multi(indices: np.ndarray, block: int = 512,
     planner (kernel emits zero rows; caller patches)."""
     r, length = indices.shape
     seg, starts, offs, ovf_mask, ok = _plan_multi(
-        indices, block, window, group, n_windows, max_ovf_frac)
+        indices, block, window, group, n_windows, max_ovf_frac, slope)
     nb = row_blocks(length, block, group)
     lpad = nb * block
     ovf = ovf_mask.reshape(r, lpad)[:, :length]
@@ -359,7 +384,8 @@ def frame_tiles(length: int) -> int:
     return (length + _TILE - 1) // _TILE
 
 
-def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8):
+def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8,
+                slope: float = 2.0):
     """(B, L, C<=8) -> (B*frame_tiles(L) + margin, 8, 128) f32: each frame
     packed contiguously at tile base b*frame_tiles(L), plus a tail margin
     so every planned segment DMA stays in-bounds.  Gather plans built
@@ -368,7 +394,7 @@ def pack_frames(x, window: int = 2048, block: int = 512, group: int = 8):
     b, l, c = x.shape
     assert c <= _CPAD, c
     ntf = frame_tiles(l)
-    margin = seg_tiles(window, block, group)
+    margin = seg_tiles(window, block, group, slope)
     xp = jnp.pad(x.astype(jnp.float32),
                  ((0, 0), (0, ntf * _TILE - l), (0, _CPAD - c)))
     flat = xp.reshape(b * ntf, _TILE, _CPAD)
@@ -448,9 +474,13 @@ def _kernel_multi(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win,
     segn = win.shape[2]
     slot = jax.lax.rem(g, 2)
 
+    # seg/starts arrive FLATTENED 1-D: scalar-prefetch (SMEM) pads the
+    # minor dim of 2-D arrays to 8, which blew the 1 MB SMEM budget 4x at
+    # (nb=222k, K=2) — AOT error "Allocation (size=7.1MB) would exceed
+    # memory (size=1MB) space=smem" at 300x1280x720 / 3.55M tracks
     def seg_dma(gi, s, k):
         return pltpu.make_async_copy(
-            table_ref.at[pl.ds(seg_ref[gi, k] // _TILE, segn)],
+            table_ref.at[pl.ds(seg_ref[gi * nwin + k] // _TILE, segn)],
             win.at[s, k], sem.at[s, k])
 
     @pl.when(g == 0)
@@ -472,7 +502,8 @@ def _kernel_multi(seg_ref, starts_ref, offs_ref, table_ref, out_ref, win,
         # (n_windows*window == 2**15) if subtracted in int16
         offs32 = offs_ref[u].astype(jnp.int32)
         for k in range(nwin):
-            t0 = (starts_ref[g * group + u, k] - seg_ref[g, k]) // _TILE
+            t0 = (starts_ref[(g * group + u) * nwin + k]
+                  - seg_ref[g * nwin + k]) // _TILE
             out = _select(win.at[slot, k], t0,
                           (offs32 - k * window)[None], window, out)
         out_ref[u] = out                                  # (8, BL)
@@ -488,75 +519,112 @@ except Exception:  # noqa: BLE001
 
 
 @functools.partial(jax.jit, static_argnames=("window", "group",
-                                             "interpret"))
+                                             "interpret", "slope"))
 def _banded_gather_call(packed, seg_starts, starts, offs,
                         window: int = 2048, group: int = 8,
-                        interpret: bool = False):
+                        interpret: bool = False, slope: float = 2.0):
     nb, bl = offs.shape
     assert nb % group == 0, (nb, group)
-    segn = seg_tiles(window, bl, group)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb // group,),
-        in_specs=[
-            pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((group, _CPAD, bl),
-                               lambda g, seg, starts: (g, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, segn, _CPAD, _TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel, window=window),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, _CPAD, bl), jnp.float32),
-        interpret=interpret,
-    )(seg_starts, starts, offs, packed)
+    segn = seg_tiles(window, bl, group, slope)
+
+    def one_call(seg_c, starts_c, offs_c):
+        nb_c = offs_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb_c // group,),
+            in_specs=[
+                pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((group, _CPAD, bl),
+                                   lambda g, seg, starts: (g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, segn, _CPAD, _TILE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel, window=window),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb_c, _CPAD, bl), jnp.float32),
+            interpret=interpret,
+        )(seg_c, starts_c, offs_c, packed)
+
+    bytes_all = (nb + nb // group) * 4
+    n_chunks = max(1, -(-bytes_all // _SMEM_PREFETCH_MAX_BYTES))
+    rows_per = -(-(nb // group) // n_chunks) * group
+    if n_chunks == 1 or rows_per >= nb:
+        return one_call(seg_starts, starts, offs)
+    outs = []
+    for r0 in range(0, nb, rows_per):
+        r1 = min(r0 + rows_per, nb)
+        outs.append(one_call(seg_starts[r0 // group:r1 // group],
+                             starts[r0:r1], offs[r0:r1]))
+    return jnp.concatenate(outs, axis=0)
+
+
+# scalar-prefetch budget per kernel call: SMEM is ~1 MB on v5e; keep the
+# flattened seg+starts arrays safely inside it by chunking the row axis
+_SMEM_PREFETCH_MAX_BYTES = 600_000
 
 
 @functools.partial(jax.jit, static_argnames=("window", "group",
-                                             "interpret"))
+                                             "interpret", "slope"))
 def _banded_gather_call_multi(packed, seg_starts, starts, offs,
                               window: int = 2048, group: int = 8,
-                              interpret: bool = False):
+                              interpret: bool = False, slope: float = 2.0):
     nb, bl = offs.shape
     nwin = starts.shape[1]
     assert nb % group == 0, (nb, group)
     assert seg_starts.shape == (nb // group, nwin), (seg_starts.shape,)
-    segn = seg_tiles(window, bl, group)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb // group,),
-        in_specs=[
-            pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((group, _CPAD, bl),
-                               lambda g, seg, starts: (g, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, nwin, segn, _CPAD, _TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nwin)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel_multi, window=window, nwin=nwin),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, _CPAD, bl), jnp.float32),
-        interpret=interpret,
-    )(seg_starts, starts, offs, packed)
+    segn = seg_tiles(window, bl, group, slope)
+
+    def one_call(seg_c, starts_c, offs_c):
+        nb_c = offs_c.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb_c // group,),
+            in_specs=[
+                pl.BlockSpec((group, bl), lambda g, seg, starts: (g, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((group, _CPAD, bl),
+                                   lambda g, seg, starts: (g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, nwin, segn, _CPAD, _TILE), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, nwin)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_multi, window=window, nwin=nwin),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb_c, _CPAD, bl), jnp.float32),
+            interpret=interpret,
+        )(seg_c.reshape(-1), starts_c.reshape(-1), offs_c, packed)
+
+    # chunk rows so the flattened (1-D) prefetch arrays stay inside SMEM
+    bytes_all = (nb + nb // group) * nwin * 4
+    n_chunks = max(1, -(-bytes_all // _SMEM_PREFETCH_MAX_BYTES))
+    rows_per = -(-(nb // group) // n_chunks) * group
+    if n_chunks == 1 or rows_per >= nb:
+        return one_call(seg_starts, starts, offs)
+    outs = []
+    for r0 in range(0, nb, rows_per):
+        r1 = min(r0 + rows_per, nb)
+        outs.append(one_call(seg_starts[r0 // group:r1 // group],
+                             starts[r0:r1], offs[r0:r1]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def banded_gather_multi(packed, seg_starts, starts, offs,
                         channels: int = 3, window: int = 2048,
-                        group: int = 8, interpret: bool = False):
+                        group: int = 8, interpret: bool = False,
+                        slope: float = 2.0):
     """K-window gather: packed (NT, 8, 128), seg_starts (NG, K),
     starts (NB, K), offs (NB, BL) with window-encoding offsets
     -> (NB, BL, channels) f32."""
     out = _banded_gather_call_multi(packed, seg_starts, starts, offs,
-                                    window, group, interpret)
+                                    window, group, interpret, slope)
     return out[:, :channels, :].transpose(0, 2, 1)
 
 
@@ -580,12 +648,12 @@ def banded_gather_xla(table, starts, offs):
 
 def banded_gather(packed, seg_starts, starts, offs, channels: int = 3,
                   window: int = 2048, group: int = 8,
-                  interpret: bool = False):
+                  interpret: bool = False, slope: float = 2.0):
     """packed (NT, 8, 128) -> (NB, BL, channels) f32 per the plan.
 
     The kernel stores (NB, 8, BL) channel-sublane blocks (full store-lane
     utilization); the row-major transpose happens here in XLA where it
     fuses with the consumer."""
     out = _banded_gather_call(packed, seg_starts, starts, offs, window,
-                              group, interpret)
+                              group, interpret, slope)
     return out[:, :channels, :].transpose(0, 2, 1)

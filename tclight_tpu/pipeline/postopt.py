@@ -434,18 +434,22 @@ def _banded_interpret() -> bool:
 
 def _palette_gather_banded_fwd(dims, features, fseg, fst, foff, fovf_pos,
                                fovf_ids, bseg, bst, boff, ovf_pos, ovf_ids):
-    hw, _ = dims
+    hw, p_pad = dims
     b, nb, blk = foff.shape
-    packed = banded.pack_table(features)
+    # density-scaled geometry, MATCHING the planner's (build_uvt_tables):
+    # both derive statically from (value range, outputs per row)
+    wf, sf = banded.banded_geometry(p_pad, hw)
+    packed = banded.pack_table(features, window=wf, slope=sf)
     if fst.ndim == 3:                           # K-window plans (long video)
         raw = banded._banded_gather_call_multi(
             packed, fseg.reshape(-1, fseg.shape[-1]),
             fst.reshape(-1, fst.shape[-1]), foff.reshape(-1, blk),
+            window=wf, slope=sf,
             interpret=_banded_interpret())      # (b*nb, CPAD, blk)
     else:
         raw = banded._banded_gather_call(
             packed, fseg.reshape(-1), fst.reshape(-1),
-            foff.reshape(-1, blk),
+            foff.reshape(-1, blk), window=wf, slope=sf,
             interpret=_banded_interpret())      # (b*nb, CPAD, blk)
     if fovf_pos.shape[1]:
         # exact patch for window-miss pixels, applied IN THE KERNEL'S
@@ -475,19 +479,21 @@ def _palette_gather_banded_bwd(dims, res, g):
      bseg, bst, boff, ovf_pos, ovf_ids) = res
     b, nbt, blk = boff.shape
     c = g.shape[-1]
-    packed_g = banded.pack_frames(g)
+    wb, sb = banded.banded_geometry(hw, p_pad)
+    packed_g = banded.pack_frames(g, window=wb, slope=sb)
     base = jnp.arange(b, dtype=jnp.int32) * (banded.frame_tiles(hw) * 128)
     if bst.ndim == 3:                           # K-window adjoint plans
         per = banded.banded_gather_multi(
             packed_g, (bseg + base[:, None, None]).reshape(-1,
                                                            bseg.shape[-1]),
             (bst + base[:, None, None]).reshape(-1, bst.shape[-1]),
-            boff.reshape(-1, blk), interpret=_banded_interpret())
+            boff.reshape(-1, blk), window=wb, slope=sb,
+            interpret=_banded_interpret())
     else:
         per = banded.banded_gather(
             packed_g, (bseg + base[:, None]).reshape(-1),
             (bst + base[:, None]).reshape(-1), boff.reshape(-1, blk),
-            interpret=_banded_interpret())
+            window=wb, slope=sb, interpret=_banded_interpret())
     adj = per.reshape(b, nbt * blk, 3).sum(axis=0)[:p_pad]
     if ovf_pos.shape[1]:
         gpad = jnp.concatenate([g, jnp.zeros((b, 1, c), g.dtype)], axis=1)
@@ -593,16 +599,18 @@ def kinematic_relabel(inv_np: np.ndarray, p_pad: int) -> np.ndarray:
     return rank[inv_np]
 
 
-def _build_banded_tables(plan_fn, inv_np, n, hw, p_pad, plan_bytes, nwin):
-    """Plan both gather directions with `plan_fn` (single- or K-window
-    robust planner) and assemble the 10-tuple banded tables, or None if
-    either direction's full plan rejects the ids."""
+def _build_banded_tables(plan_fn, bwd_plan_fn, inv_np, n, hw, p_pad,
+                         plan_bytes, nwin):
+    """Plan both gather directions (single- or K-window robust planner;
+    each direction carries its own density geometry — see
+    banded.banded_geometry) and assemble the 10-tuple banded tables, or
+    None if either direction's full plan rejects the ids."""
     fseg, fst, foff, fop, foi, fok = plan_fn(inv_np)
     if not fok:
         return None
     inv_map_np, ovf_pos_np, ovf_ids_np = palette_pixel_index(inv_np, p_pad)
     pos = np.where(inv_map_np == hw, -1, inv_map_np)
-    bseg, bst, boff, bop, boi, bok = plan_fn(pos)
+    bseg, bst, boff, bop, boi, bok = bwd_plan_fn(pos)
     if not bok:
         return None
     from tclight_tpu.utils.logging import get_logger
@@ -669,16 +677,24 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
             # the K-window planner, then both again on kinematically
             # relabeled ids) without paying the full planner (~2 min
             # host at 300 frames) per rejected candidate.
+            # per-direction density geometry (must match the kernel-call
+            # sites in _palette_gather_banded_fwd/bwd, which recompute it
+            # from the same statics)
+            wf, sf = banded.banded_geometry(p_pad, hw)
+            fgeo = dict(window=wf, slope=sf)
+
             def pick_plan(ids):
                 sample = ids[:: max(1, n // 4)][:4]
-                if banded.plan_banded_gather_rows_robust(sample)[-1]:
-                    return banded.plan_banded_gather_rows_robust, 1
+                if banded.plan_banded_gather_rows_robust(
+                        sample, **fgeo)[-1]:
+                    return (functools.partial(
+                        banded.plan_banded_gather_rows_robust, **fgeo), 1)
                 for k in (2, 3):
                     if banded.plan_banded_gather_rows_multi(
-                            sample, n_windows=k)[-1]:
+                            sample, n_windows=k, **fgeo)[-1]:
                         return (functools.partial(
                             banded.plan_banded_gather_rows_multi,
-                            n_windows=k), k)
+                            n_windows=k, **fgeo), k)
                 return None, 0
 
             used_inv = inv_np
@@ -693,9 +709,23 @@ def build_uvt_tables(unq_inv: np.ndarray, n: int, h: int, w: int,
                         "UVT: kinematic track relabeling restored the "
                         "banded id structure (%d windows/block)", nwin)
                     used_inv = relabeled
-            tables = (_build_banded_tables(plan_fn, used_inv, n, hw,
-                                           p_pad, plan_bytes, nwin)
-                      if plan_fn is not None else None)
+            if plan_fn is not None:
+                # adjoint plan: rows are TRACKS, values pixel POSITIONS —
+                # its density (hw values over p_pad outputs) differs from
+                # the fwd direction; same planner kind, own geometry
+                wb, sb = banded.banded_geometry(hw, p_pad)
+                bgeo = dict(window=wb, slope=sb)
+                bwd_plan_fn = (
+                    functools.partial(
+                        banded.plan_banded_gather_rows_robust, **bgeo)
+                    if nwin == 1 else functools.partial(
+                        banded.plan_banded_gather_rows_multi,
+                        n_windows=nwin, **bgeo))
+                tables = _build_banded_tables(plan_fn, bwd_plan_fn,
+                                              used_inv, n, hw, p_pad,
+                                              plan_bytes, nwin)
+            else:
+                tables = None
             if tables is not None:
                 _UVT_TABLE_CACHE["slot"] = (key, tables, used_inv)
                 return tables, used_inv
@@ -745,9 +775,14 @@ def uvt_loss(features, frames, past_flows, masks_bwd, tables, idxs, bmask,
     """The stage-2 loss (generate.py:499-512), shared verbatim between the
     single-device epoch scan and the sharded multi-chip step."""
     pre_idx = jnp.maximum(idxs - 1, 0)
-    images = _batch_constraint(uvt_render(features, tables, idxs, h, w), mesh)
-    pre_images = _batch_constraint(
-        uvt_render(features, tables, pre_idx, h, w), mesh)
+    # ONE concatenated render for [current | previous] — the reference's
+    # cat_idxs gather (generate.py:496-505). Vs two separate renders this
+    # halves the fixed per-call costs of the palette gather (kernel launch,
+    # post-kernel layout glue) and runs ONE adjoint in the backward pass.
+    cat_idx = jnp.concatenate([idxs, pre_idx], axis=0)
+    both = _batch_constraint(uvt_render(features, tables, cat_idx, h, w),
+                             mesh)
+    images, pre_images = jnp.split(both, 2, axis=0)
 
     edited = _batch_constraint(frames[idxs], mesh)
     # flows/masks may be stored f16 on device (tunnel-compact);

@@ -328,3 +328,53 @@ def test_uvt_tables_fall_back_on_incoherent_ids():
     tables, _ = po.build_uvt_tables(ids.reshape(-1), n, h, w, p_pad,
                                     allow_banded=True)
     assert len(tables) in (3, 4)  # dense/sorted fallback, not banded
+
+
+@pytest.mark.slow  # ~8 min: interpret-mode kernels at window 4096
+def test_call_chunking_and_density_geometry_match_xla(monkeypatch):
+    """SMEM-bounded row chunking (the scalar-prefetch arrays blow the
+    ~1 MB SMEM at 300-frame/3.5M-track scale) and non-default density
+    geometry (window 4096 / slope>2) must be exact vs the XLA path."""
+    import numpy as np
+
+    from tclight_tpu.ops import banded_gather as bg
+
+    rng = np.random.default_rng(7)
+    p = 16384
+    table = rng.standard_normal((p, 3)).astype(np.float32)
+    # high-density monotone ids: ~4 ids per output
+    rows = np.sort(rng.integers(0, p, size=(3, 4096)), axis=1)
+    win, slope = bg.banded_geometry(p, 4096)
+    assert win > 2048 and slope > 2.0
+    seg, st, offs, op, oi, ok = bg.plan_banded_gather_rows_robust(
+        rows, window=win, slope=slope)
+    assert ok
+    monkeypatch.setattr(bg, "_SMEM_PREFETCH_MAX_BYTES", 64)  # force chunks
+    import jax.numpy as jnp
+
+    packed = bg.pack_table(jnp.asarray(table), window=win, slope=slope)
+    out = bg._banded_gather_call(
+        packed, jnp.asarray(seg.reshape(-1)), jnp.asarray(st.reshape(-1)),
+        jnp.asarray(offs.reshape(-1, offs.shape[-1])),
+        window=win, slope=slope, interpret=True)
+    got = np.asarray(out[:, :3, :]).transpose(0, 2, 1).reshape(3, -1, 3)
+    ref = bg.banded_gather_xla(
+        jnp.asarray(table), jnp.asarray(st.reshape(-1)),
+        jnp.asarray(offs.reshape(-1, offs.shape[-1])))
+    np.testing.assert_allclose(
+        got, np.asarray(ref).reshape(3, -1, 3), atol=0, rtol=0)
+
+    # K-window variant through the same chunked path
+    seg2, st2, offs2, op2, oi2, ok2 = bg.plan_banded_gather_rows_multi(
+        rows, n_windows=2, window=win, slope=slope)
+    assert ok2
+    out2 = bg.banded_gather_multi(
+        packed, jnp.asarray(seg2.reshape(-1, 2)),
+        jnp.asarray(st2.reshape(-1, 2)),
+        jnp.asarray(offs2.reshape(-1, offs2.shape[-1])),
+        window=win, slope=slope, interpret=True)
+    ref2 = bg.banded_gather_xla_multi(
+        jnp.asarray(table), jnp.asarray(st2.reshape(-1, 2)),
+        jnp.asarray(offs2.reshape(-1, offs2.shape[-1])), window=win)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=0, rtol=0)

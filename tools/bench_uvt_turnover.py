@@ -39,14 +39,15 @@ from tclight_tpu.utils.logging import get_logger
 
 def make_turnover_ids(n, h, w, shift=2, box_h=180, box_w=320, amp=150,
                       period=100, churn_frac=0.01, seed=0):
-    """Returns (ids (n, h*w) int32, n_unique, box_masks (n, h, w) bool)."""
+    """Returns (ids (n, h*w) int32, n_unique, box_rects (n, 2) int32 of
+    per-frame (y0, x0) box corners)."""
     rng = np.random.default_rng(seed)
     bg = np.arange(h * w, dtype=np.int32).reshape(h, w)
     next_id = h * w
     fg = None
     prev_box = np.zeros((h, w), bool)
     ids = np.empty((n, h * w), np.int32)
-    boxes = np.empty((n, h, w), bool)
+    rects = np.empty((n, 2), np.int32)
     cx0, cy0 = w // 2, h // 2
     for t in range(n):
         if t:
@@ -80,9 +81,9 @@ def make_turnover_ids(n, h, w, shift=2, box_h=180, box_w=320, amp=150,
         frame = bg.copy()
         frame[box] = fg.reshape(box_h, box_w).reshape(-1)
         ids[t] = frame.reshape(-1)
-        boxes[t] = box
+        rects[t] = (y0, x0)
         prev_box = box
-    return ids, int(next_id), boxes
+    return ids, int(next_id), rects
 
 
 def main():
@@ -101,7 +102,7 @@ def main():
     logging.basicConfig(level=logging.INFO)
 
     t0 = time.time()
-    ids, n_unique, boxes = make_turnover_ids(
+    ids, n_unique, rects = make_turnover_ids(
         n, h, w, shift=shift, churn_frac=args.churn, amp=args.amp)
     per_frame_new = np.array(
         [len(np.setdiff1d(ids[t], ids[t - 1], assume_unique=False))
@@ -125,10 +126,42 @@ def main():
 
     rng = np.random.default_rng(0)
     base = rng.uniform(0.15, 0.85, (h, w, 3)).astype(np.float32)
-    frames = np.stack([np.roll(base, shift * t, axis=1) for t in range(n)])
-    flows = np.zeros((n, h, w, 2), np.float16)
-    flows[..., 0] = -shift
-    masks = (~boxes[..., None]).astype(np.float16)  # occluded: no flow loss
+
+    # Device-side data synthesis: the axon tunnel moves ~10-25 MB/s, so a
+    # naive host upload of frames+flows+masks (~1.9 GB at 300x720x1280)
+    # costs tens of minutes. Upload ONE base frame (2.6 MB) + the (n, 2)
+    # box corners and build everything on device.
+    import jax
+
+    base_d = jnp.asarray(base)
+    rects_d = jnp.asarray(rects)
+    box_h, box_w = 180, 320
+
+    @jax.jit
+    def synth():
+        col = jnp.arange(w)
+
+        def one_frame(t):
+            # == np.roll(base, shift*t, axis=1)
+            return base_d[:, (col - shift * t) % w, :]
+
+        frames = jax.vmap(one_frame)(jnp.arange(n))
+        yy = jnp.arange(h)[:, None]
+        xx = jnp.arange(w)[None, :]
+
+        def one_mask(r):
+            box = ((yy >= r[0]) & (yy < r[0] + box_h)
+                   & (xx >= r[1]) & (xx < r[1] + box_w))
+            return (~box)[..., None].astype(jnp.float16)
+
+        masks = jax.vmap(one_mask)(rects_d)  # occluded: no flow loss
+        flows = jnp.concatenate(
+            [jnp.full((n, h, w, 1), -shift, jnp.float16),
+             jnp.zeros((n, h, w, 1), jnp.float16)], axis=-1)
+        return frames, flows, masks
+
+    frames, flows, masks = synth()
+    flow_host = np.array([[-shift, 0.0]], np.float32)  # for flow_radius
 
     cfg = po.PostOptConfig(epochs=args.epochs, batch_size=16)
     if args.csr:
@@ -141,8 +174,9 @@ def main():
         po.build_uvt_tables = no_banded
     t0 = time.time()
     rendered, hist, times = po.run_uvt(
-        jnp.asarray(frames), jnp.asarray(flows), jnp.asarray(masks),
-        ids.reshape(-1), n_unique, cfg, warp_radius=po.flow_radius(flows))
+        frames, flows, masks,
+        ids.reshape(-1), n_unique, cfg,
+        warp_radius=po.flow_radius(flow_host))
     print(f"total {time.time()-t0:.1f}s  epoch walls: "
           f"{np.round(np.asarray(times), 2)}", flush=True)
     print(f"steady uvt_epoch_s: {float(times[-1]):.2f}", flush=True)
