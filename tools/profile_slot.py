@@ -49,6 +49,9 @@ def main() -> int:
     ap.add_argument("--h", type=int, default=720)
     ap.add_argument("--w", type=int, default=960)
     ap.add_argument("--variants", default="full,no-attn,no-merge")
+    ap.add_argument("--trace", default="",
+                    help="jax.profiler trace logdir for the LAST variant's "
+                         "steady calls (parse with tools/parse_xplane.py)")
     args = ap.parse_args()
 
     import jax
@@ -141,6 +144,12 @@ def main() -> int:
         dt = _timeit(lambda: fn1(params, inp, banks))
         results[variant] = dt
         print(f"[{variant}] bank-slot steady {dt*1e3:.1f} ms")
+        if args.trace:
+            with jax.profiler.trace(args.trace):
+                for _i in range(3):
+                    out, _ = fn1(params, inp, banks)
+                _ = np.asarray(out).ravel()[:1]
+            print(f"[{variant}] trace written to {args.trace}")
 
     if "full" in results:
         base = results["full"]
