@@ -173,8 +173,14 @@ def _greedy_match(
 _CHUNKED_MATCH_THRESHOLD = 2 ** 28
 _MATCH_CHUNK = 2048
 # above this score-tensor size the fused Pallas matmul+argmax kernel
-# beats the scan (measured crossover on v5e, ops/match_kernel.py)
-_KERNEL_MATCH_MIN_ELEMS = 2_000_000_000
+# beats the scan (measured crossover on v5e, ops/match_kernel.py).
+# Round-5 in-graph slot profile: at the flagship B=2 level-0 shapes
+# (2 x 23760 x 24576 = 1.17e9) the kernel is ~10 ms/slot FASTER than the
+# chunked scan (602 vs 612 ms bank-slot, tools/profile_slot.py
+# 'match-kernel' variant) — the earlier 2e9 gate came from an isolated
+# wrapper measurement that carried layout transposes the in-graph
+# lowering fuses away
+_KERNEL_MATCH_MIN_ELEMS = 1_000_000_000
 
 
 def _greedy_match_chunked(

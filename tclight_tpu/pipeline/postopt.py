@@ -775,14 +775,15 @@ def uvt_loss(features, frames, past_flows, masks_bwd, tables, idxs, bmask,
     """The stage-2 loss (generate.py:499-512), shared verbatim between the
     single-device epoch scan and the sharded multi-chip step."""
     pre_idx = jnp.maximum(idxs - 1, 0)
-    # ONE concatenated render for [current | previous] — the reference's
-    # cat_idxs gather (generate.py:496-505). Vs two separate renders this
-    # halves the fixed per-call costs of the palette gather (kernel launch,
-    # post-kernel layout glue) and runs ONE adjoint in the backward pass.
-    cat_idx = jnp.concatenate([idxs, pre_idx], axis=0)
-    both = _batch_constraint(uvt_render(features, tables, cat_idx, h, w),
-                             mesh)
-    images, pre_images = jnp.split(both, 2, axis=0)
+    # TWO separate renders, NOT the reference's single cat_idxs gather
+    # (generate.py:496-505): measured on the flagship (batch 16, 774k
+    # tracks) the concatenated 2B render is ~8% SLOWER per epoch (0.449
+    # -> 0.486 s, BENCH 2026-08-20) — at these batch sizes the per-call
+    # fixed costs are already amortized and XLA schedules the two gathers
+    # better than one double-size one. Exact same math either way.
+    images = _batch_constraint(uvt_render(features, tables, idxs, h, w), mesh)
+    pre_images = _batch_constraint(
+        uvt_render(features, tables, pre_idx, h, w), mesh)
 
     edited = _batch_constraint(frames[idxs], mesh)
     # flows/masks may be stored f16 on device (tunnel-compact);

@@ -111,6 +111,17 @@ def main() -> int:
             model, params = build(spec, attn_identity=True)
         elif variant == "no-merge":
             model, params = build(None)
+        elif variant == "match-kernel":
+            # force the fused matmul+argmax matcher at pipeline B=2 shapes
+            # (gated off by _KERNEL_MATCH_MIN_ELEMS from an ISOLATED
+            # measurement that carried wrapper layout transposes)
+            import tclight_tpu.ops.tome as tome_mod
+
+            tome_mod._KERNEL_MATCH_MIN_ELEMS = 0
+            from tclight_tpu.utils import device as dev_mod
+
+            dev_mod.set_compute_platform("tpu")
+            model, params = build(spec)
         elif variant == "dot-xla":
             model, params = build(spec, backend="xla")
         else:
