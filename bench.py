@@ -326,6 +326,11 @@ def main() -> int:
                 round(run_totals[-1] / n, 4) if runs > 1 else None
             ),
             "platform": platform,
+            # tunnel-transfer accounting: the output fetch rides the axon
+            # d2h link whose bandwidth varies ~10x between sessions
+            # (measured 0.4-11 MB/s same-day); reporting it separately
+            # lets readers subtract harness transport from framework cost
+            "output_fetch_s": round(stage.get("output_fetch", 0.0), 2),
             "variants": load_variant_blocks(),
         }
         emit(payload)
