@@ -330,7 +330,7 @@ def test_uvt_tables_fall_back_on_incoherent_ids():
     assert len(tables) in (3, 4)  # dense/sorted fallback, not banded
 
 
-@pytest.mark.slow  # ~8 min: interpret-mode kernels at window 4096
+@pytest.mark.slow  # interpret-mode kernels at window 4096
 def test_call_chunking_and_density_geometry_match_xla(monkeypatch):
     """SMEM-bounded row chunking (the scalar-prefetch arrays blow the
     ~1 MB SMEM at 300-frame/3.5M-track scale) and non-default density
@@ -340,11 +340,13 @@ def test_call_chunking_and_density_geometry_match_xla(monkeypatch):
     from tclight_tpu.ops import banded_gather as bg
 
     rng = np.random.default_rng(7)
-    p = 16384
+    # minimal shapes that still force window>2048 geometry AND >1 chunk:
+    # interpret mode costs ~minutes per extra row-block at this window
+    p = 8192
     table = rng.standard_normal((p, 3)).astype(np.float32)
     # high-density monotone ids: ~4 ids per output
-    rows = np.sort(rng.integers(0, p, size=(3, 4096)), axis=1)
-    win, slope = bg.banded_geometry(p, 4096)
+    rows = np.sort(rng.integers(0, p, size=(2, 2048)), axis=1)
+    win, slope = bg.banded_geometry(p, 2048)
     assert win > 2048 and slope > 2.0
     seg, st, offs, op, oi, ok = bg.plan_banded_gather_rows_robust(
         rows, window=win, slope=slope)
@@ -357,12 +359,12 @@ def test_call_chunking_and_density_geometry_match_xla(monkeypatch):
         packed, jnp.asarray(seg.reshape(-1)), jnp.asarray(st.reshape(-1)),
         jnp.asarray(offs.reshape(-1, offs.shape[-1])),
         window=win, slope=slope, interpret=True)
-    got = np.asarray(out[:, :3, :]).transpose(0, 2, 1).reshape(3, -1, 3)
+    got = np.asarray(out[:, :3, :]).transpose(0, 2, 1).reshape(2, -1, 3)
     ref = bg.banded_gather_xla(
         jnp.asarray(table), jnp.asarray(st.reshape(-1)),
         jnp.asarray(offs.reshape(-1, offs.shape[-1])))
     np.testing.assert_allclose(
-        got, np.asarray(ref).reshape(3, -1, 3), atol=0, rtol=0)
+        got, np.asarray(ref).reshape(2, -1, 3), atol=0, rtol=0)
 
     # K-window variant through the same chunked path
     seg2, st2, offs2, op2, oi2, ok2 = bg.plan_banded_gather_rows_multi(
